@@ -1,0 +1,342 @@
+"""Training engine.
+
+TPU-first redesign of /root/reference/code/train.py:141-358:
+
+* The reference runs 10 rounds × 10 folds × 200 epochs *sequentially*, with
+  per-epoch host round-trips for thresholding/metrics (train.py:52-53,
+  210-214).  Here one jit'd program scans all epochs for a *vmapped batch of
+  folds*: forward → masked weighted BCE → grad → Adam → adaptive threshold →
+  AIM/COV/mlACC (+AUC) are all on-device jnp reductions; nothing leaves HBM
+  until the round finishes.
+* Reference quirks preserved for parity: the val loss reuses the pre-step
+  logits with no re-forward (train.py:199-207), and the saved per-fold logit
+  matrix is the *pre-final-update* forward (the loop's last ``logits``
+  binding, train.py:289).
+* Artifact contract preserved: ``{round}_{fold}_loc_logits.npy``,
+  ``log.tsv``, ``txt_log.txt``, ``fig_data_{round}.json`` — these are the
+  API consumed by main.py / performance.py / figure.py (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import os
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gnn32 import MODEL_REGISTRY
+from ..ops.graph_format import Graph
+from .kfold import FOLD_SEEDS, fold_node_masks
+from .losses import multi_loss, weight_cal
+from .metrics import aim_cov_acc, macro_auc, micro_auc
+from .postprocess import protein_loc_correction
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 5e-5
+    fold_num: int = 10
+    epoch_num: int = 200
+    alpha_list: Tuple[float, ...] = (0.1,)
+    fold_seeds: Tuple[int, ...] = FOLD_SEEDS
+    seed: int = 70
+    fold_batch: int = 10          # folds trained simultaneously (vmap width)
+    model: str = "gnn32"
+    hidden: Tuple[int, ...] = (400, 300, 200, 100)
+    num_classes: int = 12
+    compute_auc: bool = True
+    log_every: int = 5
+    verbose: bool = True
+
+
+METRIC_KEYS = ("aim", "cov", "acc", "loss")
+
+
+def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg):
+    """Build the jit'd multi-fold multi-epoch runner.
+
+    Returns run(params_batch, opt_state_batch, train_masks, val_masks, alpha)
+    → (final_params, final_probs, history) where history is a dict of
+    (epochs, batch) arrays plus pred_num (epochs, batch, C).
+    """
+    init_fn, apply_fn = MODEL_REGISTRY[cfg.model]
+    del init_fn
+    tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+    w = jnp.asarray(class_weight, jnp.float32)
+
+    def epoch_step(carry, _):
+        params, opt_state, tr_mask, va_mask, alpha = carry
+
+        def loss_fn(p):
+            probs = apply_fn(p, graph, feats)
+            return multi_loss(probs, labels, tr_mask, w), probs
+
+        (train_loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # Reference parity: val loss and predictions use the PRE-update
+        # forward (train.py:199-214).
+        val_loss = multi_loss(probs, labels, va_mask, w)
+        pred = protein_loc_correction(probs, alpha, node_valid)
+        tr_aim, tr_cov, tr_acc = aim_cov_acc(labels, pred, tr_mask)
+        va_aim, va_cov, va_acc = aim_cov_acc(labels, pred, va_mask)
+        metrics = {
+            "train": {"aim": tr_aim, "cov": tr_cov, "acc": tr_acc, "loss": train_loss},
+            "val": {"aim": va_aim, "cov": va_cov, "acc": va_acc, "loss": val_loss},
+            "pred_num": jnp.sum(
+                jnp.where(node_valid[:, None], pred, 0.0), axis=0
+            ).astype(jnp.int32),
+        }
+        if cfg.compute_auc:
+            metrics["val"]["auc_micro"] = micro_auc(probs, labels, va_mask)
+            metrics["val"]["auc_macro"] = macro_auc(probs, labels, va_mask)
+        return (params, opt_state, tr_mask, va_mask, alpha), (metrics, probs)
+
+    def one_fold(params, opt_state, tr_mask, va_mask, alpha):
+        def body(carry, x):
+            carry, (metrics, probs) = epoch_step(carry, x)
+            return carry, (metrics, probs)
+
+        # Carry the last pre-update probs out of the scan without stacking
+        # the per-epoch (N, C) matrices: scan the metrics, thread probs.
+        def body2(carry, x):
+            state, _ = carry
+            state, (metrics, probs) = epoch_step(state, x)
+            return (state, probs), metrics
+
+        n = graph.n_nodes
+        probs0 = jnp.zeros((n, labels.shape[1]), jnp.float32)
+        (state, last_probs), history = jax.lax.scan(
+            body2,
+            ((params, opt_state, tr_mask, va_mask, alpha), probs0),
+            None,
+            length=cfg.epoch_num,
+        )
+        params, opt_state = state[0], state[1]
+        return params, last_probs, history
+
+    @jax.jit
+    def run(params_batch, opt_batch, train_masks, val_masks, alpha):
+        return jax.vmap(one_fold, in_axes=(0, 0, 0, 0, None))(
+            params_batch, opt_batch, train_masks, val_masks, alpha
+        )
+
+    return run, tx
+
+
+def init_fold_params(key, cfg, in_feats: int, n_folds: int):
+    init_fn, _ = MODEL_REGISTRY[cfg.model]
+    keys = jax.random.split(key, n_folds)
+    if cfg.model == "gnn32":
+        h1, h2, h3, h4 = cfg.hidden
+        return jax.vmap(
+            lambda k: init_fn(k, in_feats, h1, h2, h3, h4, cfg.num_classes)
+        )(keys)
+    return jax.vmap(lambda k: init_fn(k, in_feats, cfg.hidden[0], cfg.num_classes))(keys)
+
+
+_TPLT = (
+    "{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t"
+    "{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t"
+    "{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\n"
+)
+
+
+def _fmt_counts(scale, num):
+    args = []
+    for s, c in zip(scale, num):
+        args.extend([float(s), int(c)])
+    return _TPLT.format(*args)
+
+
+def _res_mapping(row: np.ndarray) -> str:
+    """1-based comma-joined label indices (train.py:134-139)."""
+    idx = np.where(row == 1)[0] + 1
+    return ", ".join(str(i) for i in idx)
+
+
+def train(
+    graph: Graph,
+    feats,
+    labels,
+    label_indices: Sequence[int],
+    loc_mat_full: np.ndarray,
+    cfg: TrainConfig,
+    path: str,
+    label_names: Optional[Sequence[str]] = None,
+    device_name: str = "tpu",
+):
+    """Full-ensemble training loop (reference train.py:141-358 contract).
+
+    label_indices: node ids of annotated proteins (label_with_loc_list).
+    loc_mat_full:  dense (n_real, C) localization matrix for class weights.
+    label_names:   per-node uniprot accessions for log.tsv (label_list.json
+                   first column); node index strings are used when None.
+    """
+    os.makedirs(path, exist_ok=True)
+    in_feats = feats.shape[1]
+    class_weight = weight_cal(loc_mat_full)
+    node_valid = jnp.asarray(np.arange(graph.n_nodes) < graph.n_real_nodes)
+    feats = jnp.asarray(feats)
+    labels = jnp.asarray(labels)
+
+    run, tx = make_fold_runner(graph, feats, labels, class_weight, node_valid, cfg)
+
+    n_real = graph.n_real_nodes
+    labels_np = np.asarray(labels)[:n_real]
+    p_label_num = labels_np.astype(int).sum(0)
+    p_label_scale = p_label_num / len(label_indices) * 100
+
+    key = jax.random.PRNGKey(cfg.seed)
+    log_write_flag = True
+    tsv_path = os.path.join(path, "log.tsv")
+    txt_path = os.path.join(path, "txt_log.txt")
+
+    for round_idx, fseed in enumerate(cfg.fold_seeds, start=1):
+        tr_masks_np, va_masks_np = fold_node_masks(
+            label_indices, graph.n_nodes, cfg.fold_num, fseed
+        )
+        train_dict, val_dict = {}, {}
+        for alpha in cfg.alpha_list:
+            train_d, val_d = {}, {}
+            for start in range(0, cfg.fold_num, cfg.fold_batch):
+                stop = min(start + cfg.fold_batch, cfg.fold_num)
+                nb = stop - start
+                key, sub = jax.random.split(key)
+                params = init_fold_params(sub, cfg, in_feats, nb)
+                opt_state = jax.vmap(tx.init)(params)
+                tr_masks = jnp.asarray(tr_masks_np[start:stop])
+                va_masks = jnp.asarray(va_masks_np[start:stop])
+                f_params, f_probs, history = run(
+                    params, opt_state, tr_masks, va_masks, jnp.float32(alpha)
+                )
+                history = jax.device_get(history)
+                f_probs = np.asarray(f_probs)
+
+                for b in range(nb):
+                    fold_flag = start + b + 1
+                    train_d[fold_flag] = {
+                        k: np.asarray(history["train"][k][:, b]).astype(float).tolist()
+                        for k in METRIC_KEYS
+                    }
+                    val_d[fold_flag] = {
+                        k: np.asarray(history["val"][k][:, b]).astype(float).tolist()
+                        for k in METRIC_KEYS
+                    }
+                    if cfg.compute_auc:
+                        val_d[fold_flag]["auc_micro"] = (
+                            np.asarray(history["val"]["auc_micro"][:, b]).astype(float).tolist()
+                        )
+                        val_d[fold_flag]["auc_macro"] = (
+                            np.asarray(history["val"]["auc_macro"][:, b]).astype(float).tolist()
+                        )
+
+                    logits_b = f_probs[b, :n_real]
+                    np.save(
+                        os.path.join(path, f"{round_idx}_{fold_flag}_loc_logits"),
+                        logits_b.astype(np.float32),
+                    )
+                    _write_epoch_logs(
+                        txt_path, cfg, round_idx, fold_flag, alpha,
+                        history, b, p_label_scale, p_label_num, device_name,
+                        n_real,
+                    )
+                    log_write_flag = _write_tsv(
+                        tsv_path, log_write_flag, round_idx, fold_flag, alpha,
+                        logits_b, labels_np, tr_masks_np[start + b],
+                        va_masks_np[start + b], label_names, n_real, node_alpha=alpha,
+                    )
+            train_dict[alpha] = train_d
+            val_dict[alpha] = val_d
+        fig_data = {"train": train_dict, "validation": val_dict}
+        with open(os.path.join(path, f"fig_data_{round_idx}.json"), "w") as f:
+            json.dump(fig_data, f)
+        if cfg.verbose:
+            last = {k: float(np.mean([v[k][-1] for v in val_dict[cfg.alpha_list[0]].values()]))
+                    for k in METRIC_KEYS}
+            print(
+                f"[round {round_idx}/{len(cfg.fold_seeds)}] "
+                + ", ".join(f"val {k}={v:.3f}" for k, v in last.items())
+            )
+
+
+def _write_epoch_logs(
+    txt_path, cfg, round_idx, fold_flag, alpha, history, b,
+    p_label_scale, p_label_num, device_name, n_real,
+):
+    """Reproduce the every-5-epochs console/txt channel (train.py:229-279)
+    from the on-device metric history (content-identical, written post-run)."""
+    with open(txt_path, "a") as f:
+        for e in range(cfg.epoch_num):
+            if not (e % cfg.log_every == 0 or e == cfg.epoch_num - 1):
+                continue
+            if cfg.verbose:
+                time = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+                print(
+                    "TIME: {}, In epoch {} / fold {} / round {}, learning rate: {:.10f}, alpha: {:.2f}".format(
+                        time, e, fold_flag, round_idx, cfg.lr, alpha
+                    )
+                )
+                print(
+                    "tra -- aim: {:.3f}, cov: {:.3f}, acc: {:.3f}, loss: {:.8f}".format(
+                        history["train"]["aim"][e, b], history["train"]["cov"][e, b],
+                        history["train"]["acc"][e, b], history["train"]["loss"][e, b],
+                    )
+                )
+                print(
+                    "val -- aim: {:.3f}, cov: {:.3f}, acc: {:.3f}, loss: {:.8f}".format(
+                        history["val"]["aim"][e, b], history["val"]["cov"][e, b],
+                        history["val"]["acc"][e, b], history["val"]["loss"][e, b],
+                    )
+                )
+            pred_num = history["pred_num"][e, b]
+            # Reference: p_pred_scale = p_pred_num / len(p_pred) * 100 over
+            # the full row count (train.py:239).
+            pred_scale = pred_num / n_real * 100.0
+            if e == 0:
+                f.write("-" * 190 + "\n")
+                f.write("-" * 190 + "\n")
+                f.write(
+                    "learning rate:{:.8f}, fold num:{}, epoch num:{}, alpha:{}, device:{}\n".format(
+                        cfg.lr, fold_flag, cfg.epoch_num, alpha, device_name
+                    )
+                )
+                f.write(_fmt_counts(p_label_scale, p_label_num))
+            f.write(_fmt_counts(pred_scale, pred_num))
+
+
+def _write_tsv(
+    tsv_path, log_write_flag, round_idx, fold_flag, alpha,
+    logits, labels_np, tr_mask, va_mask, label_names, n_real, node_alpha,
+):
+    """Reproduce log.tsv (round, fold, flag-t0v1, index, true, pred;
+    train.py:294-344) from the final-epoch predictions."""
+    import csv
+
+    from .postprocess import protein_loc_correction_np
+
+    pred = protein_loc_correction_np(logits, node_alpha)
+    rows = []
+    for flag, mask in ((0, tr_mask), (1, va_mask)):
+        idxs = np.flatnonzero(mask[:n_real])
+        for i in idxs:
+            name = label_names[i] if label_names is not None else str(i)
+            rows.append(
+                [round_idx, fold_flag, flag, name,
+                 _res_mapping(labels_np[i]), _res_mapping(pred[i])]
+            )
+    with open(tsv_path, "a+") as f:
+        writer = csv.writer(f, delimiter="\t")
+        if log_write_flag:
+            writer.writerow(
+                ["round", "fold", "flag-t0v1", "index", "true label", "predict label"]
+            )
+        writer.writerows(rows)
+    return False
