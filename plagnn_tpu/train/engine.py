@@ -63,7 +63,7 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
 
     Returns run(params_batch, opt_state_batch, train_masks, val_masks, alpha)
     → (final_params, final_probs, history) where history is a dict of
-    (epochs, batch) arrays plus pred_num (epochs, batch, C).
+    (batch, epochs) arrays plus pred_num (batch, epochs, C).
     """
     init_fn, apply_fn = MODEL_REGISTRY[cfg.model]
     del init_fn
@@ -223,19 +223,19 @@ def train(
                 for b in range(nb):
                     fold_flag = start + b + 1
                     train_d[fold_flag] = {
-                        k: np.asarray(history["train"][k][:, b]).astype(float).tolist()
+                        k: np.asarray(history["train"][k][b]).astype(float).tolist()
                         for k in METRIC_KEYS
                     }
                     val_d[fold_flag] = {
-                        k: np.asarray(history["val"][k][:, b]).astype(float).tolist()
+                        k: np.asarray(history["val"][k][b]).astype(float).tolist()
                         for k in METRIC_KEYS
                     }
                     if cfg.compute_auc:
                         val_d[fold_flag]["auc_micro"] = (
-                            np.asarray(history["val"]["auc_micro"][:, b]).astype(float).tolist()
+                            np.asarray(history["val"]["auc_micro"][b]).astype(float).tolist()
                         )
                         val_d[fold_flag]["auc_macro"] = (
-                            np.asarray(history["val"]["auc_macro"][:, b]).astype(float).tolist()
+                            np.asarray(history["val"]["auc_macro"][b]).astype(float).tolist()
                         )
 
                     logits_b = f_probs[b, :n_real]
@@ -286,17 +286,17 @@ def _write_epoch_logs(
                 )
                 print(
                     "tra -- aim: {:.3f}, cov: {:.3f}, acc: {:.3f}, loss: {:.8f}".format(
-                        history["train"]["aim"][e, b], history["train"]["cov"][e, b],
-                        history["train"]["acc"][e, b], history["train"]["loss"][e, b],
+                        history["train"]["aim"][b, e], history["train"]["cov"][b, e],
+                        history["train"]["acc"][b, e], history["train"]["loss"][b, e],
                     )
                 )
                 print(
                     "val -- aim: {:.3f}, cov: {:.3f}, acc: {:.3f}, loss: {:.8f}".format(
-                        history["val"]["aim"][e, b], history["val"]["cov"][e, b],
-                        history["val"]["acc"][e, b], history["val"]["loss"][e, b],
+                        history["val"]["aim"][b, e], history["val"]["cov"][b, e],
+                        history["val"]["acc"][b, e], history["val"]["loss"][b, e],
                     )
                 )
-            pred_num = history["pred_num"][e, b]
+            pred_num = history["pred_num"][b, e]
             # Reference: p_pred_scale = p_pred_num / len(p_pred) * 100 over
             # the full row count (train.py:239).
             pred_scale = pred_num / n_real * 100.0
