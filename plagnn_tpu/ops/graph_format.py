@@ -133,6 +133,48 @@ class Graph:
         return self.n_nodes - 1
 
 
+def multi_ell_dims(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    *,
+    widths: Tuple[int, ...] = DEFAULT_WIDTHS,
+    row_multiple: int = 8,
+) -> dict:
+    """Compute the static dims a build_multi_ell call would produce — used by
+    the partitioner to harmonize per-chip graphs to one executable shape."""
+    widths = tuple(sorted(widths))
+    cap = widths[-1]
+    counts = np.bincount(np.asarray(dst, np.int64), minlength=n_nodes).astype(np.int64)
+    deg_class = np.minimum(
+        np.searchsorted(np.asarray(widths), counts, side="left"), len(widths) - 1
+    )
+    vrows = np.where(counts > cap, -(-counts // cap), (counts > 0).astype(np.int64))
+    split_nodes = np.flatnonzero(counts > cap)
+    block_rows = []
+    for wi, w in enumerate(widths):
+        members = np.flatnonzero((deg_class == wi) & (counts > 0))
+        n_vrows = int(vrows[members].sum()) if len(members) else 0
+        block_rows.append(max(_round_up(max(n_vrows, 1), row_multiple), row_multiple))
+    return {
+        "block_rows": tuple(block_rows),
+        "split_rows": max(_round_up(max(len(split_nodes), 1), row_multiple), row_multiple),
+        "split_parts": int(vrows[split_nodes].max()) if len(split_nodes) else 1,
+    }
+
+
+def merge_ell_dims(dims_list) -> dict:
+    """Element-wise max of several multi_ell_dims results."""
+    return {
+        "block_rows": tuple(
+            max(d["block_rows"][i] for d in dims_list)
+            for i in range(len(dims_list[0]["block_rows"]))
+        ),
+        "split_rows": max(d["split_rows"] for d in dims_list),
+        "split_parts": max(d["split_parts"] for d in dims_list),
+    }
+
+
 def build_multi_ell(
     src: np.ndarray,
     dst: np.ndarray,
@@ -141,11 +183,15 @@ def build_multi_ell(
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
     val: Optional[np.ndarray] = None,
     row_multiple: int = 8,
+    force_dims: Optional[dict] = None,
 ) -> MultiEll:
     """Build the bucketed row-split ELL (host side, numpy).
 
     ``n_nodes`` is the padded node count; the last node is the dummy.
-    Edges need not be pre-sorted.
+    Edges need not be pre-sorted.  ``force_dims`` (from multi_ell_dims /
+    merge_ell_dims) pads block/split tables to the given static dims so that
+    differently-shaped graphs (e.g. per-chip partitions, or the three
+    PPI_inter conditions) share one compiled executable.
     """
     widths = tuple(sorted(widths))
     cap = widths[-1]
@@ -171,6 +217,11 @@ def build_multi_ell(
     max_parts = int(vrows[split_nodes].max()) if len(split_nodes) else 1
     n_split = len(split_nodes)
     s_pad = max(_round_up(max(n_split, 1), row_multiple), row_multiple)
+    if force_dims is not None:
+        if force_dims["split_rows"] < s_pad or force_dims["split_parts"] < max_parts:
+            raise ValueError("force_dims smaller than required split dims")
+        s_pad = force_dims["split_rows"]
+        max_parts = force_dims["split_parts"]
 
     blocks = []
     # Positions of every virtual row in the concatenated partial buffer P,
@@ -186,6 +237,10 @@ def build_multi_ell(
             members = np.flatnonzero((deg_class == wi) & (counts > 0) & (counts <= cap))
         n_vrows = int(vrows[members].sum()) if len(members) else 0
         r_pad = max(_round_up(max(n_vrows, 1), row_multiple), row_multiple)
+        if force_dims is not None:
+            if force_dims["block_rows"][wi] < r_pad:
+                raise ValueError("force_dims smaller than required block rows")
+            r_pad = force_dims["block_rows"][wi]
         rows = np.full(r_pad, n_nodes - 1, np.int32)
         idx = np.full((r_pad, w), NO_EDGE, np.int32)
         vals = np.zeros((r_pad, w), np.float32) if val is not None else None
@@ -257,6 +312,8 @@ def build_graph(
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
     edge_val: Optional[np.ndarray] = None,
     build_transpose: bool = True,
+    force_ell_dims: Optional[dict] = None,
+    force_ell_t_dims: Optional[dict] = None,
 ) -> Graph:
     """Host-side graph construction — the TPU analogue of
     ``dgl.graph(...) + dgl.add_self_loop`` (/root/reference/code/utils.py:44-45).
@@ -300,9 +357,15 @@ def build_graph(
     in_deg = np.bincount(dst, minlength=n_pad_nodes).astype(np.int32)
     out_deg = np.bincount(src, minlength=n_pad_nodes).astype(np.int32)
 
-    ell = build_multi_ell(src, dst, n_pad_nodes, widths=widths, val=edge_val)
+    ell = build_multi_ell(
+        src, dst, n_pad_nodes, widths=widths, val=edge_val,
+        force_dims=force_ell_dims,
+    )
     ell_t = (
-        build_multi_ell(dst, src, n_pad_nodes, widths=widths, val=edge_val)
+        build_multi_ell(
+            dst, src, n_pad_nodes, widths=widths, val=edge_val,
+            force_dims=force_ell_t_dims,
+        )
         if build_transpose
         else ell
     )

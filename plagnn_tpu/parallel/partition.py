@@ -1,0 +1,232 @@
+"""Edge/destination-block graph partitioning with halo exchange metadata.
+
+The reference holds the entire graph on one device (SURVEY.md §2.3: no
+parallelism of any kind).  The TPU-native scaling axis for this model family
+is the *graph*: a 1-D partition of the CSR adjacency by contiguous
+destination-node blocks, with boundary ("halo") source-node features
+exchanged all-to-all over ICI each layer — the GNN analogue of sequence
+parallelism (SURVEY.md §5 "long-context" note; BASELINE.json north star).
+
+Layout per chip p (P chips, own block size C):
+  * owns global nodes [pC, (p+1)C) — their features and incoming edges;
+  * local gather space = [own C rows | P·S halo slots | build padding/dummy],
+    where halo slot (q, k) at position C + q·S + k receives row
+    ``send_idx[q, p, k]`` of chip q (static tables, padded with -1);
+  * a *local* Graph (forward + transpose bucketed ELL) over locally
+    re-indexed edges, harmonized across chips to identical static shapes so
+    one executable serves every chip under shard_map.
+
+Max/sum reductions compose associatively, so cutting edges at block
+boundaries is exact; halo slots replicate remote rows rather than partial
+reductions, keeping the argmax-routed backward valid chip-locally.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph_format import (
+    DEFAULT_WIDTHS,
+    Graph,
+    build_graph,
+    merge_ell_dims,
+    multi_ell_dims,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["local", "send_idx", "in_degree", "out_degree"],
+    meta_fields=["n_chips", "own_rows", "halo_per_peer", "n_real_nodes", "n_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """Stacked per-chip local graphs + halo exchange tables.
+
+    local:      Graph whose array fields carry a leading (P,) axis (sharded
+                over the mesh 'graph' axis; meta fields are the common
+                harmonized dims).
+    send_idx:   (P, P, S) int32 — send_idx[p, q, k] is the own-row index
+                (0..C) chip p sends to chip q's k-th halo slot; -1 = none.
+    in_degree/out_degree: (P, C) int32 — *global* degrees of owned nodes
+                (needed for GCN normalization; the local graph's degrees only
+                count local edges).
+    """
+
+    local: Graph
+    send_idx: jax.Array
+    in_degree: jax.Array
+    out_degree: jax.Array
+    n_chips: int
+    own_rows: int
+    halo_per_peer: int
+    n_real_nodes: int
+    n_edges: int
+
+
+def partition_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_real: int,
+    n_chips: int,
+    *,
+    add_self_loops: bool = False,
+    node_multiple: int = 8,
+    widths: Tuple[int, ...] = DEFAULT_WIDTHS,
+) -> PartitionedGraph:
+    """Host-side 1-D destination-block partitioner."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if add_self_loops:
+        loops = np.arange(n_real, dtype=np.int64)
+        src = np.concatenate([src, loops])
+        dst = np.concatenate([dst, loops])
+
+    p = n_chips
+    c = _round_up(-(-n_real // p), node_multiple)  # own rows per chip
+
+    in_deg = np.bincount(dst, minlength=p * c).astype(np.int32)
+    out_deg = np.bincount(src, minlength=p * c).astype(np.int32)
+
+    owner_dst = dst // c
+    owner_src = src // c
+
+    # Halo lists per ordered pair (q owner -> p consumer), q != p.
+    halo_lists = [[None] * p for _ in range(p)]
+    s_max = 1
+    for pp in range(p):
+        e_sel = owner_dst == pp
+        for q in range(p):
+            if q == pp:
+                continue
+            need = np.unique(src[e_sel & (owner_src == q)])
+            halo_lists[q][pp] = need
+            s_max = max(s_max, len(need))
+    s_pad = _round_up(s_max, 8)
+
+    send_idx = np.full((p, p, s_pad), -1, np.int32)
+    # Position of each global halo row in consumer p's gather space.
+    for q in range(p):
+        for pp in range(p):
+            if q == pp or halo_lists[q][pp] is None:
+                continue
+            rows = halo_lists[q][pp]
+            send_idx[q, pp, : len(rows)] = rows - q * c
+
+    n_local = c + p * s_pad  # + dummy/padding added by build_graph
+
+    # Build per-chip local edge lists with re-indexed sources.
+    chip_edges = []
+    for pp in range(p):
+        e_sel = owner_dst == pp
+        s_g = src[e_sel]
+        d_l = dst[e_sel] - pp * c
+        s_l = np.empty_like(s_g)
+        own = owner_src[e_sel] == pp
+        s_l[own] = s_g[own] - pp * c
+        for q in range(p):
+            if q == pp:
+                continue
+            m = owner_src[e_sel] == q
+            if not m.any():
+                continue
+            rows = halo_lists[q][pp]
+            slot = np.searchsorted(rows, s_g[m])
+            s_l[m] = c + q * s_pad + slot
+        chip_edges.append((s_l, d_l))
+
+    # Harmonize static dims across chips.
+    e_max = max(max(len(s), 1) for s, _ in chip_edges)
+    e_pad = _round_up(e_max, 256)
+    node_pad_mult = 8
+    n_pad_nodes = _round_up(n_local + 1, node_pad_mult)
+    fwd_dims, bwd_dims = [], []
+    for s_l, d_l in chip_edges:
+        fwd_dims.append(multi_ell_dims(s_l, d_l, n_pad_nodes, widths=widths))
+        bwd_dims.append(multi_ell_dims(d_l, s_l, n_pad_nodes, widths=widths))
+    fwd_dims = merge_ell_dims(fwd_dims)
+    bwd_dims = merge_ell_dims(bwd_dims)
+
+    graphs = []
+    for s_l, d_l in chip_edges:
+        graphs.append(
+            build_graph(
+                s_l, d_l, n_local,
+                add_self_loops=False,
+                node_multiple=node_pad_mult,
+                edge_multiple=e_pad,
+                widths=widths,
+                force_ell_dims=fwd_dims,
+                force_ell_t_dims=bwd_dims,
+            )
+        )
+    # All meta dims now match; stack arrays with a leading chip axis.
+    metas = {f.name: getattr(graphs[0], f.name)
+             for f in dataclasses.fields(Graph)
+             if f.name in ("n_nodes", "n_real_nodes", "n_edges", "n_pad_edges")}
+    for g in graphs[1:]:
+        for k in ("n_nodes", "n_pad_edges"):
+            assert getattr(g, k) == metas[k], "harmonization failed"
+    # n_edges differs per chip; the stacked pytree must share meta, so record
+    # the max (only used for bookkeeping on the stacked object).
+    metas["n_edges"] = max(g.n_edges for g in graphs)
+    metas["n_real_nodes"] = n_local
+
+    def stack(field):
+        return jnp.stack([getattr(g, field) for g in graphs])
+
+    def stack_tree(field):
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[getattr(g, field) for g in graphs])
+
+    # Padded-edge validity differs per chip; segment reference paths are not
+    # used on partitioned graphs, so the COO arrays are stacked as-is.
+    stacked = Graph(
+        src=stack("src"),
+        dst=stack("dst"),
+        indptr=stack("indptr"),
+        in_degree=stack("in_degree"),
+        out_degree=stack("out_degree"),
+        ell=stack_tree("ell"),
+        ell_t=stack_tree("ell_t"),
+        n_nodes=metas["n_nodes"],
+        n_real_nodes=metas["n_real_nodes"],
+        n_edges=metas["n_edges"],
+        n_pad_edges=metas["n_pad_edges"],
+    )
+
+    return PartitionedGraph(
+        local=stacked,
+        send_idx=jnp.asarray(send_idx),
+        in_degree=jnp.asarray(in_deg.reshape(p, c)),
+        out_degree=jnp.asarray(out_deg.reshape(p, c)),
+        n_chips=p,
+        own_rows=c,
+        halo_per_peer=s_pad,
+        n_real_nodes=n_real,
+        n_edges=len(src),
+    )
+
+
+def shard_features(x: np.ndarray, pgraph: PartitionedGraph) -> np.ndarray:
+    """(N, F) host features → (P, C, F) owner-block shards (zero padded)."""
+    p, c = pgraph.n_chips, pgraph.own_rows
+    f = x.shape[1]
+    out = np.zeros((p * c, f), x.dtype)
+    out[: len(x)] = x
+    return out.reshape(p, c, f)
+
+
+def unshard_rows(x: np.ndarray, pgraph: PartitionedGraph) -> np.ndarray:
+    """(P, C, F) shards → (N_real, F)."""
+    p, c = pgraph.n_chips, pgraph.own_rows
+    return np.asarray(x).reshape(p * c, -1)[: pgraph.n_real_nodes]

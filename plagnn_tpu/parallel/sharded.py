@@ -1,0 +1,244 @@
+"""shard_map programs: halo exchange, sharded layers, sharded train step.
+
+Replaces the reference's nothing (no distributed backend exists there,
+SURVEY.md §2.3) with JAX collectives over ICI/DCN: a named mesh, all_to_all
+halo exchange, psum gradient/loss reductions — XLA inserts the transfers.
+
+Mesh axes:
+  'graph' — destination-block partition of the PPI graph (halo all-to-all).
+  'fold'  — data-parallel axis over the round/fold ensemble (the reference's
+            embarrassingly-parallel 10×10 experiment structure,
+            train.py:162-178).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import layers as L
+from ..ops.graph_format import Graph
+from ..ops.spmm import spmm_max, spmm_sum
+from ..train.losses import multi_loss
+from ..utils.precision import matmul_precision
+from .partition import PartitionedGraph
+
+GRAPH_AXIS = "graph"
+FOLD_AXIS = "fold"
+
+
+def make_mesh(n_graph: int, n_fold: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_graph * n_fold, "not enough devices"
+    devs = devices.reshape(-1)[: n_graph * n_fold].reshape(n_fold, n_graph)
+    return Mesh(devs, (FOLD_AXIS, GRAPH_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange (runs inside shard_map, one chip's view).
+# ---------------------------------------------------------------------------
+
+
+def halo_exchange(x_own: jax.Array, send_idx_p: jax.Array) -> jax.Array:
+    """Exchange boundary rows with every peer.
+
+    x_own:       (C, F) — this chip's owned feature rows.
+    send_idx_p:  (P, S) — rows of x_own to send to each peer (-1 pad).
+    Returns (P·S, F): the halo buffer, slot (q, k) = row k requested from
+    peer q (zeros in padding slots).
+    """
+    pp, s = send_idx_p.shape
+    valid = (send_idx_p >= 0)[..., None]
+    buf = jnp.where(valid, x_own[jnp.maximum(send_idx_p, 0)], 0.0)  # (P, S, F)
+    recv = jax.lax.all_to_all(
+        buf, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=False
+    )
+    return recv.reshape(pp * s, x_own.shape[-1])
+
+
+def gather_space(
+    x_own: jax.Array, halo: jax.Array, n_pad_nodes: int
+) -> jax.Array:
+    """Assemble the local gather space [own | halo | padding/dummy]."""
+    c = x_own.shape[0]
+    h = halo.shape[0]
+    pad = n_pad_nodes - c - h
+    z = jnp.zeros((pad, x_own.shape[-1]), x_own.dtype)
+    return jnp.concatenate([x_own, halo, z], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Sharded layers (mirror models/layers.py on one chip's shard).
+# ---------------------------------------------------------------------------
+
+
+def sharded_sage_conv(
+    params, local_graph: Graph, send_idx_p, x_own, aggregator: str = "pool"
+):
+    """SAGEConv over a destination-block shard.
+
+    The pooling MLP runs on owned rows (row-parallel GEMM), then pooled
+    boundary rows ride the all-to-all, overlapping with nothing yet —
+    XLA schedules the local fc_self GEMM alongside the collective.
+    """
+    c = x_own.shape[0]
+    if aggregator == "pool":
+        pooled = jax.nn.relu(
+            jnp.dot(x_own, params["w_pool"], preferred_element_type=jnp.float32,
+                    precision=matmul_precision())
+            + params["b_pool"]
+        )
+        halo = halo_exchange(pooled, send_idx_p)
+        xl = gather_space(pooled, halo, local_graph.n_nodes)
+        m = spmm_max(local_graph, xl)[:c]
+    elif aggregator == "sum":
+        halo = halo_exchange(x_own, send_idx_p)
+        xl = gather_space(x_own, halo, local_graph.n_nodes)
+        m = spmm_sum(local_graph, xl)[:c]
+    else:
+        raise ValueError(aggregator)
+    return (
+        jnp.dot(x_own, params["w_self"], preferred_element_type=jnp.float32,
+                precision=matmul_precision())
+        + jnp.dot(m, params["w_neigh"], preferred_element_type=jnp.float32,
+                  precision=matmul_precision())
+        + params["bias"]
+    )
+
+
+def sharded_gcn_propagate(
+    local_graph: Graph, send_idx_p, x_own, in_deg_own, out_deg_own,
+    norm: str = "both",
+):
+    """Degree-normalized propagation over a shard using *global* degrees."""
+    c = x_own.shape[0]
+    if norm in ("both", "left"):
+        d_out = jnp.maximum(out_deg_own, 1).astype(x_own.dtype)
+        scale = jax.lax.rsqrt(d_out) if norm == "both" else 1.0 / d_out
+        x_own = x_own * scale[:, None]
+    halo = halo_exchange(x_own, send_idx_p)
+    xl = gather_space(x_own, halo, local_graph.n_nodes)
+    s = spmm_sum(local_graph, xl)[:c]
+    if norm in ("both", "right"):
+        d_in = jnp.maximum(in_deg_own, 1).astype(x_own.dtype)
+        scale = jax.lax.rsqrt(d_in) if norm == "both" else 1.0 / d_in
+        s = s * scale[:, None]
+    return s
+
+
+def sharded_gnn32_apply(params, local_graph, send_idx_p, x_own):
+    """GNN32 forward on one graph shard (mirrors models.gnn32_apply)."""
+    h = sharded_sage_conv(params["conv1"], local_graph, send_idx_p, x_own)
+    h = jax.nn.leaky_relu(h)
+    h = sharded_sage_conv(params["conv2"], local_graph, send_idx_p, h)
+    h = jax.nn.leaky_relu(h)
+    h = sharded_sage_conv(params["conv3"], local_graph, send_idx_p, h)
+    h = jax.nn.leaky_relu(h)
+    h = L.linear(params["liner1"], h)
+    h = jax.nn.leaky_relu(h)
+    h = L.linear(params["liner2"], h)
+    return jax.nn.sigmoid(h)
+
+
+# ---------------------------------------------------------------------------
+# Sharded forward / train step factories.
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_forward(mesh: Mesh, pgraph: PartitionedGraph):
+    """jit'd forward: params replicated, features/output row-sharded."""
+
+    def fwd_shard(local_graph, send_idx, x_own, params):
+        x_own = x_own[0]          # strip the size-1 'graph'-sharded lead axis
+        send_idx_p = send_idx[0]
+        lg = jax.tree.map(lambda a: a[0], local_graph)
+        out = sharded_gnn32_apply(params, lg, send_idx_p, x_own)
+        return out[None]
+
+    f = jax.shard_map(
+        fwd_shard,
+        mesh=mesh,
+        in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
+        out_specs=P(GRAPH_AXIS),
+    )
+    return jax.jit(lambda params, x_shards: f(
+        pgraph.local, pgraph.send_idx, x_shards, params
+    ))
+
+
+def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weight):
+    """jit'd full training step over a ('fold', 'graph') mesh.
+
+    Inputs (global shapes):
+      params/opt_state leaves: (B_folds, ...) — sharded over 'fold';
+      x/labels shards: (P, C, F) — sharded over 'graph', replicated over 'fold';
+      train/val masks: (B_folds, P, C) — sharded over ('fold', 'graph').
+    The masked weighted-BCE loss is psum'd over 'graph' (global mean over
+    masked rows, matching train.py:89-108 on the full graph); gradients are
+    psum'd over 'graph'; each fold's Adam update runs replicated within its
+    fold group so fold-sharded params stay in sync.
+    Returns (params, opt_state, loss (B_folds,), probs (B_folds, P, C, cls)).
+    """
+    w = jnp.asarray(class_weight, jnp.float32)
+
+    def step_shard(local_graph, send_idx, x_own, labels_own,
+                   params, opt_state, tr_mask_own):
+        lg = jax.tree.map(lambda a: a[0], local_graph)  # strip graph lead axis
+        send_idx_p = send_idx[0]
+        x = x_own[0]
+        y = labels_own[0]
+        tr = tr_mask_own[:, 0, :]  # (B_local, C)
+
+        def fold_step(p, o, trm):
+            def loss_fn(pp):
+                probs = sharded_gnn32_apply(pp, lg, send_idx_p, x)
+                m = trm.astype(probs.dtype)
+                n_total = jax.lax.psum(jnp.sum(m), GRAPH_AXIS)
+                wb = w[None, :]
+                ll = (
+                    y * jnp.log(jnp.clip(probs, 1e-9, 10.0)) * wb
+                    + (1.0 - y) * jnp.log(jnp.clip(1.0 - probs, 1e-9, 10.0))
+                ) / (wb + 1.0) * 2.0
+                local = -jnp.sum(ll * m[:, None])
+                total = jax.lax.psum(local, GRAPH_AXIS) / jnp.maximum(n_total, 1.0)
+                return total, probs
+
+            (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            grads = jax.lax.psum(grads, GRAPH_AXIS)
+            updates, o = tx.update(grads, o, p)
+            p = jax.tree.map(lambda a, u: a + u, p, updates)
+            return p, o, loss, probs
+
+        params_f, opt_f, loss_f, probs_f = jax.vmap(fold_step)(params, opt_state, tr)
+        return params_f, opt_f, loss_f, probs_f[:, None]
+
+    step = jax.shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(
+            P(GRAPH_AXIS),                # local graph arrays (lead axis P)
+            P(GRAPH_AXIS),                # send_idx (P, P, S)
+            P(GRAPH_AXIS),                # x shards (P, C, F)
+            P(GRAPH_AXIS),                # label shards (P, C, cls)
+            P(FOLD_AXIS),                 # params (B_folds, ...)
+            P(FOLD_AXIS),                 # opt state
+            P(FOLD_AXIS, GRAPH_AXIS),     # train masks (B_folds, P, C)
+        ),
+        out_specs=(
+            P(FOLD_AXIS), P(FOLD_AXIS), P(FOLD_AXIS),
+            P(FOLD_AXIS, GRAPH_AXIS),
+        ),
+    )
+
+    @jax.jit
+    def run(params, opt_state, x_shards, label_shards, tr_masks):
+        return step(
+            pgraph.local, pgraph.send_idx, x_shards, label_shards,
+            params, opt_state, tr_masks,
+        )
+
+    return run

@@ -9,8 +9,10 @@ virtual 8-device CPU mesh (the standard
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force-override: the ambient
+# environment pins JAX_PLATFORMS to the real TPU ('axon'), but the test suite
+# always runs on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The ambient TPU plugin (sitecustomize) force-sets jax_platforms at
+# interpreter startup, overriding the env var; undo it before the first
+# backend initialization so tests run on the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,142 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4(c)):
+edge-partitioned aggregation must match the single-chip result exactly."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from plagnn_tpu.data import synthetic_dataset
+from plagnn_tpu.models import gnn32_apply, init_gnn32
+from plagnn_tpu.ops import build_graph, from_scipy_coo, pad_features
+from plagnn_tpu.parallel import (
+    make_mesh,
+    make_sharded_forward,
+    make_sharded_train_step,
+    partition_graph,
+    shard_features,
+    unshard_rows,
+)
+from plagnn_tpu.train import weight_cal
+from plagnn_tpu.train.kfold import fold_node_masks
+
+N = 140
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    ppi, feats, loc, label_list = synthetic_dataset(
+        n_nodes=N, n_edges=900, seed=11, feature_dims=(3, 8, 8)
+    )
+    graph = from_scipy_coo(
+        ppi, add_self_loops=True, widths=(4, 16, 64),
+        node_multiple=16, edge_multiple=64,
+    )
+    pg = partition_graph(
+        ppi.row, ppi.col, N, n_chips=4, add_self_loops=True, widths=(4, 16, 64)
+    )
+    return ppi, feats, loc, label_list, graph, pg
+
+
+def test_partition_preserves_edges(bundle):
+    ppi, _, _, _, graph, pg = bundle
+    # every chip's local edges, mapped back to global ids, must reproduce the
+    # original edge set (incl. self loops)
+    p, c, s = pg.n_chips, pg.own_rows, pg.halo_per_peer
+    send_idx = np.asarray(pg.send_idx)
+    got = set()
+    local = pg.local
+    for chip in range(p):
+        src = np.asarray(local.src[chip])
+        dst = np.asarray(local.dst[chip])
+        n_pad = local.n_nodes
+        dummy = n_pad - 1
+        for sl, dl in zip(src, dst):
+            if sl == dummy and dl == dummy:
+                continue
+            d_g = chip * c + dl
+            if sl < c:
+                s_g = chip * c + sl
+            else:
+                q, k = divmod(sl - c, s)
+                s_g = q * c + send_idx[q, chip, k]
+            got.add((int(s_g), int(d_g)))
+    expected = set(zip(ppi.row.tolist(), ppi.col.tolist()))
+    expected |= {(i, i) for i in range(N)}
+    assert got == expected
+
+
+def test_sharded_forward_matches_single_chip(bundle):
+    _, feats, loc, _, graph, pg = bundle
+    mesh = make_mesh(n_graph=4, n_fold=1)
+    key = jax.random.PRNGKey(3)
+    params = init_gnn32(key, feats.shape[1], 13, 9, 7, 5, 12)
+
+    xp = jnp.asarray(pad_features(feats, graph.n_nodes))
+    ref = np.asarray(gnn32_apply(params, graph, xp))[:N]
+
+    x_shards = jnp.asarray(shard_features(feats, pg))
+    fwd = make_sharded_forward(mesh, pg)
+    out = fwd(params, x_shards)
+    got = unshard_rows(np.asarray(out), pg)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_matches_single_chip(bundle):
+    _, feats, loc, label_list, graph, pg = bundle
+    mesh = make_mesh(n_graph=4, n_fold=2)
+    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    w = weight_cal(loc)
+
+    tr_np, _ = fold_node_masks(label_list, pg.n_chips * pg.own_rows, 4, 12)
+    tr_np = tr_np[:2]  # two folds
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    params = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        init_gnn32(k1, feats.shape[1], 13, 9, 7, 5, 12),
+        init_gnn32(k2, feats.shape[1], 13, 9, 7, 5, 12),
+    )
+    opt_state = jax.vmap(tx.init)(params)
+
+    # --- single-chip reference (per fold) ---------------------------------
+    xp = jnp.asarray(pad_features(feats, graph.n_nodes))
+    yp = jnp.asarray(pad_features(loc, graph.n_nodes))
+    from plagnn_tpu.train.losses import multi_loss
+
+    def ref_step(p, o, mask_global):
+        def loss_fn(pp):
+            probs = gnn32_apply(pp, graph, xp)
+            return multi_loss(probs, yp, mask_global, jnp.asarray(w, jnp.float32)), probs
+        (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), loss, probs
+
+    # masks over the single-chip padded node space
+    masks_g = np.zeros((2, graph.n_nodes), bool)
+    masks_g[:, :N] = tr_np[:, :N]
+    ref_losses, ref_params = [], []
+    for b in range(2):
+        pb = jax.tree.map(lambda a: a[b], params)
+        ob = jax.tree.map(lambda a: a[b], opt_state)
+        p2, loss, _ = ref_step(pb, ob, jnp.asarray(masks_g[b]))
+        ref_losses.append(float(loss))
+        ref_params.append(p2)
+
+    # --- sharded step -----------------------------------------------------
+    x_shards = jnp.asarray(shard_features(feats, pg))
+    y_shards = jnp.asarray(shard_features(loc, pg))
+    tr_masks = jnp.asarray(
+        tr_np[:, : pg.n_chips * pg.own_rows].reshape(2, pg.n_chips, pg.own_rows)
+    )
+    step = make_sharded_train_step(mesh, pg, tx, w)
+    p2, o2, losses, probs = step(params, opt_state, x_shards, y_shards, tr_masks)
+
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    for b in range(2):
+        got = jax.tree.map(lambda a: np.asarray(a[b]), p2)
+        exp = jax.tree.map(np.asarray, ref_params[b])
+        jax.tree.map(
+            lambda g, e: np.testing.assert_allclose(g, e, rtol=1e-4, atol=1e-6),
+            got, exp,
+        )
