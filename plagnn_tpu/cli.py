@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+Mirrors the reference's six entry scripts (README.md:195-218; SURVEY.md §2
+L5) as subcommands of one installable CLI:
+
+    plagnn preprocess     ← code/data_preprocess.py
+    plagnn train-normal   ← code/main_normal.py  (-data/-lr/-f/-e/-a/-d)
+    plagnn train-inter    ← code/main_inter.py
+    plagnn score          ← code/main.py
+    plagnn performance    ← code/performance.py
+    plagnn statistics     ← code/statistics.py
+    plagnn figures        ← code/figure.py / utils.fig_and_perf
+    plagnn bench          ← (new) SpMM/epoch throughput benchmark
+    plagnn synth          ← (new) synthetic dataset materialization
+
+Flag names and defaults match the reference (-data, -lr 5e-5, -f 10, -e 200,
+-a [0.1]); ``-d`` is accepted for compatibility (device selection is
+implicit in JAX) plus new flags for the TPU-native knobs (fold batch,
+mesh shape, precision).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _add_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("-data", required=True,
+                   choices=["GSE30931", "GSE74572", "GSE27182"],
+                   help="dataset (GSE30931=Bortezomib, GSE74572=Trichostatin A,"
+                        " GSE27182=Tacrolimus)")
+    p.add_argument("-lr", type=float, default=0.00005)
+    p.add_argument("-f", type=int, default=10, help="fold num")
+    p.add_argument("-e", type=int, default=200, help="epoch num")
+    p.add_argument("-a", nargs="*", default=[0.1], help="alpha list")
+    p.add_argument("-d", type=str, default="tpu",
+                   help="accepted for reference compatibility")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--fold-batch", type=int, default=10)
+    p.add_argument("--rounds", type=int, default=10)
+    p.add_argument("--seed", type=int, default=70)
+    p.add_argument("--no-auc", action="store_true")
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest"])
+
+
+def _train(args, condition: str):
+    import numpy as np
+
+    from .data.artifacts import load_condition, load_label_names
+    from .train.engine import TrainConfig, train
+    from .train.kfold import FOLD_SEEDS
+    from .utils.precision import set_matmul_precision
+
+    set_matmul_precision(args.precision)
+    bundle = load_condition(args.data_root, args.data, condition)
+    subdir = "normal" if condition == "normal" else "perturbation"
+    log_path = os.path.join(args.data_root, "log", args.data, subdir) + os.sep
+    os.makedirs(log_path, exist_ok=True)
+    print(
+        "learning rate:{:.8f}, fold num:{:}, epoch num:{:}, alpha list:{},device:{}".format(
+            args.lr, args.f, args.e, list(map(float, args.a)), args.d
+        )
+    )
+    with open(os.path.join(log_path, "txt_log.txt"), "w") as f:
+        f.write(
+            "learning rate:{:.8f}, fold num:{:}, epoch num:{:}, alpha list:{}, device:{}\n".format(
+                args.lr, args.f, args.e, list(map(float, args.a)), args.d
+            )
+        )
+    cfg = TrainConfig(
+        lr=args.lr,
+        fold_num=args.f,
+        epoch_num=args.e,
+        alpha_list=tuple(map(float, args.a)),
+        fold_seeds=tuple(FOLD_SEEDS[: args.rounds]),
+        seed=args.seed,
+        fold_batch=args.fold_batch,
+        compute_auc=not args.no_auc,
+    )
+    train(
+        bundle.graph,
+        bundle.feats,
+        bundle.labels,
+        bundle.label_with_loc,
+        bundle.loc_mat,
+        cfg,
+        log_path,
+        label_names=load_label_names(args.data_root) or bundle.uniprot,
+        device_name=args.d,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="plagnn")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess", help="materialize graph/feature artifacts")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--no-dense-gcn", action="store_true",
+                   help="skip the dense PCC .npz artifacts (lean mode)")
+
+    p = sub.add_parser("geo", help="series-matrix → exprSet CSV (data_reader.R port)")
+    p.add_argument("series_matrix")
+    p.add_argument("probe_map", help="probe_id,uniprot_id CSV")
+    p.add_argument("out_csv")
+
+    for name in ("train-normal", "train-inter"):
+        p = sub.add_parser(name)
+        _add_train_flags(p)
+
+    p = sub.add_parser("score", help="mis-localization ranking (main.py)")
+    p.add_argument("--data-root", default="data")
+
+    p = sub.add_parser("performance", help="CV metrics + random baselines")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--rounds", type=int, default=10)
+    p.add_argument("--folds", type=int, default=10)
+
+    p = sub.add_parser("statistics", help="topology-change statistics")
+    p.add_argument("--data-root", default="data")
+
+    p = sub.add_parser("figures", help="metric curves / distribution figures")
+    p.add_argument("--data-root", default="data")
+
+    p = sub.add_parser("synth", help="write a synthetic dataset bundle")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--nodes", type=int, default=24041)
+    p.add_argument("--edges", type=int, default=700000)
+    p.add_argument("--seed", type=int, default=70)
+
+    sub.add_parser("bench", help="run the throughput benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "preprocess":
+        from .data.preprocess import preprocess
+
+        preprocess(args.data_root, dense_gcn_artifacts=not args.no_dense_gcn)
+    elif args.cmd == "geo":
+        from .data.geo import write_expr_set
+
+        write_expr_set(args.series_matrix, args.probe_map, args.out_csv)
+    elif args.cmd == "train-normal":
+        _train(args, "normal")
+    elif args.cmd == "train-inter":
+        _train(args, "inter")
+    elif args.cmd == "score":
+        from .analysis.score import score_all
+
+        score_all(args.data_root)
+    elif args.cmd == "performance":
+        import json
+
+        from .analysis.performance import mat_merge, performance
+        from .data.artifacts import load_condition  # noqa: F401
+
+        gm = os.path.join(args.data_root, "generate_materials")
+        with open(os.path.join(gm, "protein_ppi.json")) as f:
+            n_nodes = len(json.load(f))
+        mat_merge(os.path.join(args.data_root, "log"), n_nodes,
+                  rounds=args.rounds, fold_num=args.folds)
+        performance(args.data_root, rounds=args.rounds)
+    elif args.cmd == "statistics":
+        from .analysis.statistics import topology_statistics
+
+        topology_statistics(args.data_root)
+    elif args.cmd == "figures":
+        import glob
+
+        from .analysis.figures import fig_and_perf
+
+        for fd in glob.glob(os.path.join(args.data_root, "log", "GSE*", "*",
+                                         "fig_data_*.json")):
+            fig_and_perf(fd, out_dir=os.path.dirname(fd))
+    elif args.cmd == "synth":
+        _write_synth(args)
+    elif args.cmd == "bench":
+        import runpy
+
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+            run_name="__main__",
+        )
+    return 0
+
+
+def _write_synth(args):
+    """Materialize a synthetic dataset under the reference artifact contract
+    so the full CLI pipeline runs without the real data blobs."""
+    import json
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from .data.synthetic import powerlaw_ppi, synthetic_features, synthetic_loc_matrix
+
+    gm = os.path.join(args.data_root, "generate_materials")
+    os.makedirs(gm, exist_ok=True)
+    ppi = powerlaw_ppi(args.nodes, args.edges, args.seed)
+    sp.save_npz(os.path.join(gm, "PPI_normal"), ppi)
+    protein_list = [f"SYN{i:06d}" for i in range(args.nodes)]
+    with open(os.path.join(gm, "protein_ppi.json"), "w") as f:
+        json.dump(protein_list, f)
+    feats = synthetic_features(args.nodes, args.seed)
+    np.save(os.path.join(gm, "ECC_normal_pca"), feats[:, 253:])
+    loc, label_list = synthetic_loc_matrix(args.nodes, args.seed)
+    sp.save_npz(os.path.join(gm, "loc_matrix"), loc)
+    with open(os.path.join(gm, "label_with_loc_list.json"), "w") as f:
+        json.dump(label_list, f)
+    with open(os.path.join(gm, "label_list.json"), "w") as f:
+        json.dump([(u, []) for u in protein_list], f)
+    for gse in ("GSE30931", "GSE74572", "GSE27182"):
+        d = os.path.join(gm, f"{gse}_data")
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "GCN_normal_pca"), feats[:, 3:253])
+        np.save(os.path.join(d, "expr_normal"), feats[:, :3].astype(np.float64))
+        sp.save_npz(os.path.join(d, "PPI_inter"), ppi)
+        np.save(os.path.join(d, "GCN_inter_pca"), feats[:, 3:253])
+        np.save(os.path.join(d, "ECC_inter_pca"), feats[:, 253:])
+        np.save(os.path.join(d, "expr_inter"), feats[:, :3].astype(np.float64))
+    print(f"synthetic dataset at {gm}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

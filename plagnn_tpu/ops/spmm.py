@@ -65,10 +65,15 @@ def ell_reduce_max(
         g = jnp.where(valid[..., None], g, _NEG_INF)
         parts.append(jnp.max(g, axis=1))
         if with_argmax:
+            # First-max source via argmax + slot-compare + masked sum; a
+            # take_along_axis here lowers to a pathologically slow TPU
+            # gather (>10x the cost of the whole reduce).
             am = jnp.argmax(g, axis=1)  # (R, F) slot ids, first max
-            src_at = jnp.take_along_axis(
-                blk.idx[:, :, None], am[:, None, :], axis=1
-            )[:, 0, :]  # (R, F)
+            iota = jnp.arange(blk.width, dtype=am.dtype)
+            eqslot = am[:, None, :] == iota[None, :, None]
+            src_at = jnp.sum(
+                jnp.where(eqslot, blk.idx[:, :, None], 0), axis=1
+            )  # (R, F)
             argparts.append(src_at)
 
     def combine_max(sp, valid):
@@ -87,7 +92,10 @@ def ell_reduce_max(
     sp = jnp.where(sp_valid, p[jnp.maximum(sp_idx, 0)], _NEG_INF)  # (S, C, F)
     sel = jnp.argmax(sp, axis=1)  # (S, F)
     sa = a[jnp.maximum(sp_idx, 0)]  # (S, C, F)
-    comb_arg = jnp.take_along_axis(sa, sel[:, None, :], axis=1)[:, 0, :]
+    c = sp.shape[1]
+    iota_c = jnp.arange(c, dtype=sel.dtype)
+    eqslot_c = sel[:, None, :] == iota_c[None, :, None]
+    comb_arg = jnp.sum(jnp.where(eqslot_c, sa, 0), axis=1)
     neg1 = jnp.full((1, f), -1, jnp.int32)
     ext_a = jnp.concatenate([a, comb_arg, neg1], axis=0)
     argsrc = ext_a[ell.gather_perm]

@@ -64,13 +64,17 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
     Returns run(params_batch, opt_state_batch, train_masks, val_masks, alpha)
     → (final_params, final_probs, history) where history is a dict of
     (batch, epochs) arrays plus pred_num (batch, epochs, C).
+
+    The graph/features/labels are passed into the jitted program as
+    arguments (not baked constants) so XLA compiles fast and one executable
+    serves all rounds.
     """
     init_fn, apply_fn = MODEL_REGISTRY[cfg.model]
     del init_fn
     tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
     w = jnp.asarray(class_weight, jnp.float32)
 
-    def epoch_step(carry, _):
+    def epoch_step(graph, feats, labels, carry, _):
         params, opt_state, tr_mask, va_mask, alpha = carry
 
         def loss_fn(p):
@@ -99,16 +103,12 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
             metrics["val"]["auc_macro"] = macro_auc(probs, labels, va_mask)
         return (params, opt_state, tr_mask, va_mask, alpha), (metrics, probs)
 
-    def one_fold(params, opt_state, tr_mask, va_mask, alpha):
-        def body(carry, x):
-            carry, (metrics, probs) = epoch_step(carry, x)
-            return carry, (metrics, probs)
-
+    def one_fold(graph, feats, labels, params, opt_state, tr_mask, va_mask, alpha):
         # Carry the last pre-update probs out of the scan without stacking
         # the per-epoch (N, C) matrices: scan the metrics, thread probs.
         def body2(carry, x):
             state, _ = carry
-            state, (metrics, probs) = epoch_step(state, x)
+            state, (metrics, probs) = epoch_step(graph, feats, labels, state, x)
             return (state, probs), metrics
 
         n = graph.n_nodes
@@ -123,10 +123,16 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
         return params, last_probs, history
 
     @jax.jit
+    def run_impl(graph, feats, labels, params_batch, opt_batch,
+                 train_masks, val_masks, alpha):
+        return jax.vmap(
+            one_fold, in_axes=(None, None, None, 0, 0, 0, 0, None)
+        )(graph, feats, labels, params_batch, opt_batch,
+          train_masks, val_masks, alpha)
+
     def run(params_batch, opt_batch, train_masks, val_masks, alpha):
-        return jax.vmap(one_fold, in_axes=(0, 0, 0, 0, None))(
-            params_batch, opt_batch, train_masks, val_masks, alpha
-        )
+        return run_impl(graph, feats, labels, params_batch, opt_batch,
+                        train_masks, val_masks, alpha)
 
     return run, tx
 
