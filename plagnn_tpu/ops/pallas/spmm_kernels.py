@@ -1,37 +1,32 @@
-"""Pallas TPU kernels: fold-batched segment-max/sum SpMM over blocked CSR.
+"""Pallas TPU kernels: fold-batched, group-vectorized segment SpMM.
 
-Why a custom kernel: XLA's row gather on TPU is *latency-bound* (~10 ns per
-gathered row regardless of row width — measured on v5e), so the ensemble
-workload (10 CV folds × full-graph aggregation, train.py:162-195) pays the
-per-row cost once per fold.  These kernels stream ONE DMA per edge covering
-the features of ALL folds at once (node stride B·F, 1024-f32 aligned for
-Mosaic's 1-D tiling), turning the aggregation bandwidth-bound and amortizing
-the per-edge scalar work across the fold batch.
+Why a custom kernel: XLA's row gather on TPU is latency-bound (~9-14 ns per
+gathered row, ceiling ~290 GB/s regardless of batching — measured on v5e),
+and a naive per-edge Pallas loop costs ~330 ns *per scalar-loop iteration*
+regardless of its content.  These kernels attack both constants:
 
-Layout:
-  x:    (N_pad, B, F_pad) float32, viewed by the kernel as
-        (N_pad·8, B·F_pad/8) so that one node row is an 8-sublane-aligned
-        (8, lanes) tile slice (Mosaic's DMA alignment rule); the node stride
-        B·F_pad must be a multiple of 1024 (even B with F_pad=512, or
-        F_pad=1024 for B=1).
-  CSR:  edges sorted by destination, grouped into destination-row blocks of
-        R rows; each block's edge list is padded to a multiple of T_E=1024
-        (padded edges point at the dummy node and carry dst_local=R, which
-        the accumulate predicate skips).
+* **fold batching** — one DMA per edge moves the features of ALL B ensemble
+  folds (node stride B*F; the reference's 10-fold CV becomes a batch axis,
+  train.py:162-195), and
+* **edge grouping** — each loop iteration processes a GROUP of G=8 edges
+  that share one destination row (the host pads every row's edge list to a
+  multiple of G), so the scalar-loop overhead is amortized 8x and the
+  combine runs as a static VPU reduction tree.
 
-Forward max also records the argmax *source node id* per (node, fold,
-feature) — strict-> updates keep the FIRST maximum in (dst, src) sorted
-order, matching DGL's tie behavior and the XLA path.  The backward masked
-sum runs the same structure over the transpose blocked CSR.
+Layout: x (N_pad, B, F_pad) f32 viewed as (N_pad*8, B*F_pad/8): a node row
+is an 8-sublane-aligned (8, lanes) slice (Mosaic's DMA alignment rule);
+B*F_pad must be a multiple of 1024.
 
-Replaces (TPU-natively) the libdgl gspmm(copy_lhs, max) CUDA kernel invoked
-by the reference through SAGEConv('pool') — SURVEY.md §2.2.
+Semantics match DGL 0.8.x gspmm (SURVEY.md 2.2): max reduce with 0 for
+empty rows; argmax records the FIRST maximum in (dst, src) sorted order
+(within-group descending-select, cross-group strict-greater).  The backward
+masked sum routes gradients to the recorded argmax source over the transpose
+blocked CSR.
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -39,9 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_E = 1024          # edges per index chunk (matches int32 1-D tile)
-NBUF = 16           # feature-row DMAs in flight
+T_E = 1024          # edges per index chunk (int32 1-D tile)
+G = 8               # edges per group (share one destination row)
+NG = 8              # group DMA slots in flight
 DEFAULT_R = 128     # destination rows per block
+
+_NEG = float(-jnp.inf)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -55,10 +53,10 @@ def _round_up(x: int, m: int) -> int:
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedCsr:
-    """Destination-blocked, chunk-padded CSR (host product)."""
+    """Destination-blocked, row-group-padded, chunk-padded CSR."""
 
     blk_ptr: jax.Array     # (n_blocks + 1,) int32, multiples of T_E
-    src: jax.Array         # (E_pad,) int32 source node ids (dummy for pad)
+    src: jax.Array         # (E_pad,) int32 source ids (dummy node for pad)
     dst_local: jax.Array   # (E_pad,) int32 dst row within block (R for pad)
     n_blocks: int
     rows_per_block: int
@@ -72,32 +70,46 @@ def build_blocked_csr(
     n_pad_nodes: int,
     rows_per_block: int = DEFAULT_R,
 ) -> BlockedCsr:
-    """Group (sorted-by-dst) edges into R-row destination blocks, padding
-    each block's edge list to a multiple of T_E."""
+    """Sort edges by (dst, src); pad each destination row's edge list to a
+    multiple of G; group rows into R-row blocks, padding each block's edge
+    list to a multiple of T_E."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     order = np.lexsort((src, dst))
     src, dst = src[order], dst[order]
     r = rows_per_block
     assert n_pad_nodes % r == 0, "pad node count to a multiple of rows_per_block"
+    dummy = n_pad_nodes - 1
+
+    # Per-row padding to group multiples.
+    counts = np.bincount(dst, minlength=n_pad_nodes)
+    padded_counts = ((counts + G - 1) // G) * G
+    row_start = np.zeros(n_pad_nodes + 1, np.int64)
+    np.cumsum(padded_counts, out=row_start[1:])
+    e_rows = int(row_start[-1])
+    src_r = np.full(e_rows, dummy, np.int32)
+    dst_r = np.repeat(np.arange(n_pad_nodes), padded_counts)
+    orig_start = np.zeros(n_pad_nodes, np.int64)
+    np.cumsum(counts[:-1], out=orig_start[1:])
+    pos = row_start[dst] + (np.arange(len(src)) - orig_start[dst])
+    src_r[pos] = src
+
+    # Block grouping + chunk padding.
     n_blocks = n_pad_nodes // r
-    blk_of = dst // r
-    counts = np.bincount(blk_of, minlength=n_blocks)
-    padded = np.maximum(_round_up(1, T_E), ((counts + T_E - 1) // T_E) * T_E)
-    padded[counts == 0] = T_E  # every block gets ≥1 chunk (simplifies grid)
+    blk_of = dst_r // r
+    bcounts = np.bincount(blk_of, minlength=n_blocks)
+    bpadded = np.maximum(T_E, ((bcounts + T_E - 1) // T_E) * T_E)
     blk_ptr = np.zeros(n_blocks + 1, np.int64)
-    np.cumsum(padded, out=blk_ptr[1:])
+    np.cumsum(bpadded, out=blk_ptr[1:])
     e_pad = int(blk_ptr[-1])
 
-    dummy = n_pad_nodes - 1
     src_p = np.full(e_pad, dummy, np.int32)
-    dstl_p = np.full(e_pad, r, np.int32)  # R ⇒ skip
-    starts = np.zeros(n_blocks, np.int64)
-    starts[:] = blk_ptr[:-1]
-    pos = starts[blk_of] + (np.arange(len(src)) - np.concatenate(
-        [[0], np.cumsum(counts)])[blk_of])
-    src_p[pos] = src
-    dstl_p[pos] = dst - blk_of * r
+    dstl_p = np.full(e_pad, r, np.int32)  # r => padded group, skip
+    bstart = np.zeros(n_blocks, np.int64)
+    np.cumsum(bcounts[:-1], out=bstart[1:])
+    pos2 = blk_ptr[blk_of] + (np.arange(e_rows) - bstart[blk_of])
+    src_p[pos2] = src_r
+    dstl_p[pos2] = dst_r - blk_of * r
 
     return BlockedCsr(
         blk_ptr=jnp.asarray(blk_ptr, jnp.int32),
@@ -110,32 +122,41 @@ def build_blocked_csr(
     )
 
 
-def _spmm_kernel(
-    blk_ptr_ref,          # scalar prefetch (n_blocks+1,)
-    src_hbm, dstl_hbm, x_hbm,     # ANY inputs
-    out_ref,              # (R, S) VMEM output block
-    arg_ref,              # (R, S) int32 VMEM output block (argmax) or None
+def _spmm_fwd_kernel(
+    blk_ptr_ref,
+    src_hbm, dstl_hbm, x_hbm,
+    out_ref, arg_ref,
     acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems,
-    *, reduce: str, with_argmax: bool, stride: int, r: int,
+    *, reduce: str, with_argmax: bool, r: int, dummy: int,
 ):
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0) // T_E
-    neg = jnp.float32(-jnp.inf) if reduce == "max" else jnp.float32(0.0)
-    acc[...] = jnp.full(acc.shape, neg, jnp.float32)
+    n_groups = T_E // G
+    ident = _NEG if reduce == "max" else 0.0
+    acc[...] = jnp.full(acc.shape, ident, jnp.float32)
     if with_argmax:
         argacc[...] = jnp.full(argacc.shape, -1, jnp.int32)
 
-    def row_dma(slot, e_global_srcid):
-        start = pl.multiple_of(e_global_srcid * 8, 8)
+    def edge_dma(slot, j, node):
+        # ring slot holds G node-rows of 8 sublanes each
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, 8)], ring.at[slot], sems.at[slot]
+            x_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
+            ring.at[slot, pl.ds(j * 8, 8)],
+            sems.at[slot, j],
         )
+
+    def start_group(gi, slot):
+        for j in range(G):
+            edge_dma(slot, j, idx_src[gi * G + j]).start()
+
+    def wait_group(gi, slot):
+        for j in range(G):
+            edge_dma(slot, j, idx_src[gi * G + j]).wait()
 
     def chunk_body(c, _):
         base = e0 + c * T_E
-        # Fetch this chunk's edge indices into SMEM.
         cp_s = pltpu.make_async_copy(
             src_hbm.at[pl.ds(pl.multiple_of(base, T_E), T_E)],
             idx_src, idx_sems.at[0])
@@ -147,41 +168,51 @@ def _spmm_kernel(
         cp_s.wait()
         cp_d.wait()
 
-        def warm(k, _):
-            row_dma(k, idx_src[k]).start()
+        def warm(gi, _):
+            start_group(gi, gi % NG)
             return 0
 
-        jax.lax.fori_loop(0, NBUF, warm, 0)
+        jax.lax.fori_loop(0, NG, warm, 0)
 
-        def edge(k, _):
-            slot = k % NBUF
-            row_dma(slot, idx_src[k]).wait()
-            d = idx_dstl[k]
+        def group(gi, _):
+            slot = gi % NG
+            wait_group(gi, slot)
+            d = idx_dstl[gi * G]
 
             @pl.when(d < r)
             def _():
-                row = ring[slot]
+                # validity select + static reduction tree over the G rows
+                rows = []
+                srcs = []
+                for j in range(G):
+                    s_j = idx_src[gi * G + j]
+                    srcs.append(s_j)
+                    rj = ring[slot, pl.ds(j * 8, 8), :]
+                    rows.append(jnp.where(s_j != dummy, rj, ident))
+                m = rows[0]
+                for j in range(1, G):
+                    m = jnp.maximum(m, rows[j]) if reduce == "max" else m + rows[j]
                 d8 = pl.multiple_of(d * 8, 8)
                 cur = acc[pl.ds(d8, 8), :]
                 if reduce == "max":
                     if with_argmax:
-                        upd = row > cur
-                        s_id = idx_src[k]
+                        # first-in-group on ties: descending overwrite
+                        ag = jnp.full(m.shape, -1, jnp.int32)
+                        for j in range(G - 1, -1, -1):
+                            ag = jnp.where(rows[j] == m, srcs[j], ag)
+                        upd = m > cur
                         cur_arg = argacc[pl.ds(d8, 8), :]
-                        argacc[pl.ds(d8, 8), :] = jnp.where(upd, s_id, cur_arg)
-                    acc[pl.ds(d8, 8), :] = jnp.maximum(cur, row)
+                        argacc[pl.ds(d8, 8), :] = jnp.where(upd, ag, cur_arg)
+                    acc[pl.ds(d8, 8), :] = jnp.maximum(cur, m)
                 else:
-                    acc[pl.ds(d8, 8), :] = cur + row
+                    acc[pl.ds(d8, 8), :] = cur + m
 
-            @pl.when(k + NBUF < T_E)
+            @pl.when(gi + NG < n_groups)
             def _():
-                row_dma(slot, idx_src[k + NBUF]).start()
+                start_group(gi + NG, slot)
             return 0
 
-        # Every in-flight DMA is waited by its own edge iteration (edge k
-        # waits slot k%NBUF; starts are gated by k+NBUF < T_E), so nothing
-        # is outstanding at chunk end.
-        jax.lax.fori_loop(0, T_E, edge, 0)
+        jax.lax.fori_loop(0, n_groups, group, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -194,6 +225,16 @@ def _spmm_kernel(
         arg_ref[...] = argacc[...]
 
 
+def _fwd_noarg_adapter(
+    blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref,
+    acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
+):
+    _spmm_fwd_kernel(
+        blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref, None,
+        acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
+    )
+
+
 def _run_spmm(
     blocked: BlockedCsr, x: jax.Array, *, reduce: str, with_argmax: bool,
     interpret: bool = False,
@@ -201,7 +242,7 @@ def _run_spmm(
     n_pad, b, f_pad = x.shape
     stride = b * f_pad
     assert stride % 1024 == 0, (
-        f"fold-batch×features ({b}×{f_pad}) must be a multiple of 1024"
+        f"fold-batch x features ({b}x{f_pad}) must be a multiple of 1024"
     )
     lane = stride // 8
     r = blocked.rows_per_block
@@ -216,27 +257,24 @@ def _run_spmm(
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _spmm_kernel if with_argmax else _spmm_kernel_noarg_adapter,
-        reduce=reduce, with_argmax=with_argmax, stride=stride, r=r,
+        _spmm_fwd_kernel if with_argmax else _fwd_noarg_adapter,
+        reduce=reduce, with_argmax=with_argmax, r=r,
+        dummy=blocked.n_pad_nodes - 1,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(blocked.n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs) if with_argmax else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((r * 8, lane), jnp.float32),
             pltpu.VMEM((r * 8, lane), jnp.int32)
             if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((NBUF, 8, lane), jnp.float32),
+            pltpu.VMEM((NG, G * 8, lane), jnp.float32),
             pltpu.SMEM((T_E,), jnp.int32),
             pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NG, G)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -254,41 +292,46 @@ def _run_spmm(
     return res.reshape(n_pad, b, f_pad)
 
 
-def _spmm_kernel_noarg_adapter(
-    blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref,
-    acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
-):
-    _spmm_kernel(
-        blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref, None,
-        acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
-    )
-
-
 def _masked_bwd_kernel(
     blk_ptr_ref,
     dst_hbm, srcl_hbm, g_hbm, arg_hbm,
     dx_ref,
     acc, ring_g, ring_a, idx_dst, idx_srcl, sems_g, sems_a, idx_sems,
-    *, stride: int, r: int,
+    *, r: int, dummy: int,
 ):
-    """dx[s] = Σ_{edges s→n} where(argsrc[n] == s, g[n], 0) over the
-    transpose blocked CSR (blocks of source rows)."""
+    """dx[s] = sum_{edges s->n} where(argsrc[n] == s, g[n], 0), grouped over
+    the transpose blocked CSR (groups share the source row s)."""
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0) // T_E
+    n_groups = T_E // G
     acc[...] = jnp.zeros(acc.shape, jnp.float32)
     base_node = i * r
 
-    def g_dma(slot, node):
-        start = pl.multiple_of(node * 8, 8)
+    def g_dma(slot, j, node):
         return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(start, 8)], ring_g.at[slot], sems_g.at[slot])
+            g_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
+            ring_g.at[slot, pl.ds(j * 8, 8)],
+            sems_g.at[slot, j])
 
-    def a_dma(slot, node):
-        start = pl.multiple_of(node * 8, 8)
+    def a_dma(slot, j, node):
         return pltpu.make_async_copy(
-            arg_hbm.at[pl.ds(start, 8)], ring_a.at[slot], sems_a.at[slot])
+            arg_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
+            ring_a.at[slot, pl.ds(j * 8, 8)],
+            sems_a.at[slot, j])
+
+    def start_group(gi, slot):
+        for j in range(G):
+            n = idx_dst[gi * G + j]
+            g_dma(slot, j, n).start()
+            a_dma(slot, j, n).start()
+
+    def wait_group(gi, slot):
+        for j in range(G):
+            n = idx_dst[gi * G + j]
+            g_dma(slot, j, n).wait()
+            a_dma(slot, j, n).wait()
 
     def chunk_body(c, _):
         base = e0 + c * T_E
@@ -303,34 +346,35 @@ def _masked_bwd_kernel(
         cp_s.wait()
         cp_d.wait()
 
-        def warm(k, _):
-            g_dma(k, idx_dst[k]).start()
-            a_dma(k, idx_dst[k]).start()
+        def warm(gi, _):
+            start_group(gi, gi % NG)
             return 0
 
-        jax.lax.fori_loop(0, NBUF, warm, 0)
+        jax.lax.fori_loop(0, NG, warm, 0)
 
-        def edge(k, _):
-            slot = k % NBUF
-            g_dma(slot, idx_dst[k]).wait()
-            a_dma(slot, idx_dst[k]).wait()
-            sl = idx_srcl[k]
+        def group(gi, _):
+            slot = gi % NG
+            wait_group(gi, slot)
+            sl = idx_srcl[gi * G]
 
             @pl.when(sl < r)
             def _():
                 s_global = base_node + sl
-                hit = ring_a[slot] == s_global
-                contrib = jnp.where(hit, ring_g[slot], 0.0)
+                total = None
+                for j in range(G):
+                    hit = ring_a[slot, pl.ds(j * 8, 8), :] == s_global
+                    contrib = jnp.where(
+                        hit, ring_g[slot, pl.ds(j * 8, 8), :], 0.0)
+                    total = contrib if total is None else total + contrib
                 sl8 = pl.multiple_of(sl * 8, 8)
-                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + contrib
+                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + total
 
-            @pl.when(k + NBUF < T_E)
+            @pl.when(gi + NG < n_groups)
             def _():
-                g_dma(slot, idx_dst[k + NBUF]).start()
-                a_dma(slot, idx_dst[k + NBUF]).start()
+                start_group(gi + NG, slot)
             return 0
 
-        jax.lax.fori_loop(0, T_E, edge, 0)
+        jax.lax.fori_loop(0, n_groups, group, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -345,26 +389,22 @@ def _run_masked_bwd(
     stride = b * f_pad
     lane = stride // 8
     r = blocked_t.rows_per_block
-    kernel = functools.partial(_masked_bwd_kernel, stride=stride, r=r)
+    kernel = functools.partial(
+        _masked_bwd_kernel, r=r, dummy=blocked_t.n_pad_nodes - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(blocked_t.n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r * 8, lane), jnp.float32),
-            pltpu.VMEM((NBUF, 8, lane), jnp.float32),
-            pltpu.VMEM((NBUF, 8, lane), jnp.int32),
+            pltpu.VMEM((NG, G * 8, lane), jnp.float32),
+            pltpu.VMEM((NG, G * 8, lane), jnp.int32),
             pltpu.SMEM((T_E,), jnp.int32),
             pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NG, G)),
+            pltpu.SemaphoreType.DMA((NG, G)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -411,8 +451,8 @@ def build_pallas_graph(
 def pallas_spmm_max(
     pgraph: PallasGraph, x: jax.Array, *, interpret: bool = False
 ) -> jax.Array:
-    """Fold-batched segment-max; x (N_pad, B, F_pad) with B·F_pad % 1024 == 0.
-    Differentiable (argmax-routed VJP, both directions as pallas kernels)."""
+    """Fold-batched segment-max; x (N_pad, B, F_pad), B*F_pad % 1024 == 0.
+    Differentiable: argmax-routed VJP, both directions as pallas kernels."""
 
     @jax.custom_vjp
     def _f(x):

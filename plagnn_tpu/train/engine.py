@@ -53,6 +53,7 @@ class TrainConfig:
     compute_auc: bool = True
     log_every: int = 5
     verbose: bool = True
+    resume: bool = True           # skip rounds whose artifacts already exist
 
 
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
@@ -205,7 +206,13 @@ def train(
     tsv_path = os.path.join(path, "log.tsv")
     txt_path = os.path.join(path, "txt_log.txt")
 
+    from .checkpoint import round_complete
+
     for round_idx, fseed in enumerate(cfg.fold_seeds, start=1):
+        if cfg.resume and round_complete(path, round_idx, cfg.fold_num):
+            if cfg.verbose:
+                print(f"[round {round_idx}] artifacts complete, skipping (resume)")
+            continue
         tr_masks_np, va_masks_np = fold_node_masks(
             label_indices, graph.n_nodes, cfg.fold_num, fseed
         )

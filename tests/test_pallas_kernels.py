@@ -43,10 +43,12 @@ def test_blocked_csr_roundtrip(setup):
     src_p = np.asarray(bc.src)
     dstl_p = np.asarray(bc.dst_local)
     blk_ptr = np.asarray(bc.blk_ptr)
+    dummy = bc.n_pad_nodes - 1
     got = set()
     for i in range(bc.n_blocks):
         for e in range(blk_ptr[i], blk_ptr[i + 1]):
-            if dstl_p[e] < bc.rows_per_block:
+            # row-group padding slots carry a real dst row but a dummy src
+            if dstl_p[e] < bc.rows_per_block and src_p[e] != dummy:
                 got.add((int(src_p[e]), i * bc.rows_per_block + int(dstl_p[e])))
     assert got == set(zip(src.tolist(), dst.tolist()))
 
