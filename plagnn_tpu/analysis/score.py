@@ -83,7 +83,9 @@ def misloc_protein_record(
             score = diff_matrix[row][col]
             if score == -1.0:
                 continue
-            if score == 0:
+            # reference records only strictly gained (>0) or lost (<0)
+            # locations (main.py:155-172); NaN/0 entries fall through both
+            if not (score > 0 or score < 0):
                 continue
             location = LOC_MAP[loc_list[col]]
             normal_score = normal[row][col]
@@ -120,6 +122,13 @@ def score_all(
     mat_merge(log_root, res_root, n_nodes)
     for ds in datasets:
         res_dir = os.path.join(res_root, ds)
-        normal = np.load(os.path.join(res_dir, "normal_logits.npy"))
-        inter = np.load(os.path.join(res_dir, "perturbation_logits.npy"))
-        misloc_protein_record(normal, inter, res_dir, protein_list, loc_list)
+        n_path = os.path.join(res_dir, "normal_logits.npy")
+        i_path = os.path.join(res_dir, "perturbation_logits.npy")
+        if not (os.path.exists(n_path) and os.path.exists(i_path)):
+            # the reference (main.py:180) hard-fails here when a dataset
+            # was not trained; skip it instead
+            print(f"[score] {ds}: merged logits missing, skipping")
+            continue
+        misloc_protein_record(
+            np.load(n_path), np.load(i_path), res_dir, protein_list, loc_list
+        )

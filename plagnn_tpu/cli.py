@@ -198,6 +198,16 @@ def _write_synth(args):
 
     gm = os.path.join(args.data_root, "generate_materials")
     os.makedirs(gm, exist_ok=True)
+    sm = os.path.join(args.data_root, "support_materials")
+    os.makedirs(sm, exist_ok=True)
+    # the 12 GO CC terms (data/support_materials/cellular_component.txt)
+    cc_terms = [
+        "GO:0005938", "GO:0005829", "GO:0015629", "GO:0005794",
+        "GO:0005783", "GO:0005730", "GO:0005777", "GO:0005739",
+        "GO:0005764", "GO:0005813", "GO:0005634", "GO:0005886",
+    ]
+    with open(os.path.join(sm, "cellular_component.txt"), "w") as f:
+        f.write("\n".join(cc_terms) + "\n")
     ppi = powerlaw_ppi(args.nodes, args.edges, args.seed)
     sp.save_npz(os.path.join(gm, "PPI_normal"), ppi)
     protein_list = [f"SYN{i:06d}" for i in range(args.nodes)]

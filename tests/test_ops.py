@@ -200,3 +200,21 @@ def test_vmap_over_features(setup):
     r = ref_max(a, x)
     np.testing.assert_allclose(out[0], r, atol=1e-6)
     np.testing.assert_allclose(out[1], ref_max(a, np.asarray(x) * 2.0), atol=1e-6)
+
+
+def test_neighbor_sampling(rng):
+    from plagnn_tpu.ops.sampling import sample_neighbors
+
+    src = np.repeat(np.arange(20), 10)  # node j has in-edges from 20 srcs? build dst
+    dst = np.tile(np.arange(10), 20)
+    s, d = sample_neighbors(src, dst, 25, fanout=4, seed=1)
+    # every sampled destination keeps at most 4 in-edges, all real
+    for node in np.unique(d):
+        sel = s[d == node]
+        assert len(sel) <= 4
+        assert len(np.unique(sel)) == len(sel)
+        orig = set(src[dst == node].tolist())
+        assert set(sel.tolist()) <= orig
+    # low-degree nodes keep everything
+    s2, d2 = sample_neighbors(np.array([1, 2]), np.array([0, 0]), 5, fanout=4)
+    assert sorted(s2.tolist()) == [1, 2]
