@@ -181,17 +181,27 @@ def _spmm_fwd_kernel(
 
             @pl.when(d < r)
             def _():
-                # validity select + static reduction tree over the G rows
-                rows = []
-                srcs = []
+                # overwrite invalid (dummy-padded) rows with the identity,
+                # then reduce the whole slot with a log-depth static tree —
+                # far fewer instructions than per-row selects.
                 for j in range(G):
                     s_j = idx_src[gi * G + j]
-                    srcs.append(s_j)
-                    rj = ring[slot, pl.ds(j * 8, 8), :]
-                    rows.append(jnp.where(s_j != dummy, rj, ident))
-                m = rows[0]
-                for j in range(1, G):
-                    m = jnp.maximum(m, rows[j]) if reduce == "max" else m + rows[j]
+
+                    @pl.when(s_j == dummy)
+                    def _():
+                        ring[slot, pl.ds(j * 8, 8), :] = jnp.full(
+                            (8, ring.shape[-1]), ident, jnp.float32)
+                buf = ring[slot]  # (G*8, lane)
+                h = G * 8
+                while h > 8:
+                    half = h // 2
+                    top = buf[half:h, :]
+                    if reduce == "max":
+                        buf = jnp.maximum(buf[:half, :], top)
+                    else:
+                        buf = buf[:half, :] + top
+                    h = half
+                m = buf  # (8, lane)
                 d8 = pl.multiple_of(d * 8, 8)
                 cur = acc[pl.ds(d8, 8), :]
                 if reduce == "max":
@@ -199,7 +209,9 @@ def _spmm_fwd_kernel(
                         # first-in-group on ties: descending overwrite
                         ag = jnp.full(m.shape, -1, jnp.int32)
                         for j in range(G - 1, -1, -1):
-                            ag = jnp.where(rows[j] == m, srcs[j], ag)
+                            ag = jnp.where(
+                                ring[slot, pl.ds(j * 8, 8), :] == m,
+                                idx_src[gi * G + j], ag)
                         upd = m > cur
                         cur_arg = argacc[pl.ds(d8, 8), :]
                         argacc[pl.ds(d8, 8), :] = jnp.where(upd, ag, cur_arg)
@@ -360,14 +372,15 @@ def _masked_bwd_kernel(
             @pl.when(sl < r)
             def _():
                 s_global = base_node + sl
-                total = None
-                for j in range(G):
-                    hit = ring_a[slot, pl.ds(j * 8, 8), :] == s_global
-                    contrib = jnp.where(
-                        hit, ring_g[slot, pl.ds(j * 8, 8), :], 0.0)
-                    total = contrib if total is None else total + contrib
+                # whole-slot hit test + log-depth tree sum
+                buf = jnp.where(ring_a[slot] == s_global, ring_g[slot], 0.0)
+                h = G * 8
+                while h > 8:
+                    half = h // 2
+                    buf = buf[:half, :] + buf[half:h, :]
+                    h = half
                 sl8 = pl.multiple_of(sl * 8, 8)
-                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + total
+                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + buf
 
             @pl.when(gi + NG < n_groups)
             def _():

@@ -54,6 +54,9 @@ class TrainConfig:
     log_every: int = 5
     verbose: bool = True
     resume: bool = True           # skip rounds whose artifacts already exist
+    spmm_impl: str = "xla"        # 'xla' (bucketed ELL) | 'pallas' (fold-batched kernels)
+    pallas_f_pad: int = 512       # aggregation feature pad for the pallas path
+    pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
 
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
@@ -138,6 +141,101 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
     return run, tx
 
 
+def make_batched_fold_runner(
+    graph: Graph, pallas_graph, feats, labels, class_weight, node_valid, cfg
+):
+    """Fold-batched runner: one jit'd scan where the fold ensemble is packed
+    into the feature layout (N, B, F) and aggregation runs through the
+    fold-batched Pallas kernels (ops/pallas/spmm_kernels.py) — one DMA per
+    edge for the whole fold batch.  Same history/probs contract as
+    make_fold_runner."""
+    from ..models.batched import gnn32_apply_batched
+    from ..ops.pallas.spmm_kernels import pallas_spmm_max
+
+    assert cfg.model == "gnn32", "pallas path currently implements gnn32"
+    tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+    w = jnp.asarray(class_weight, jnp.float32)
+
+    def epoch_step(pg, feats, labels, carry, _):
+        params, opt_state, tr_masks, va_masks, alpha = carry  # masks (B, N)
+
+        def agg(xp):
+            return pallas_spmm_max(pg, xp, interpret=cfg.pallas_interpret)
+
+        def loss_fn(p):
+            probs_nbc = gnn32_apply_batched(p, agg, feats, cfg.pallas_f_pad)
+            probs = jnp.moveaxis(probs_nbc, 1, 0)  # (B, N, C)
+            losses = jax.vmap(
+                lambda pr, m: multi_loss(pr, labels, m, w)
+            )(probs, tr_masks)
+            # per-fold params are independent: grad of the sum = per-fold grads
+            return jnp.sum(losses), (losses, probs)
+
+        (_, (train_losses, probs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        val_losses = jax.vmap(
+            lambda pr, m: multi_loss(pr, labels, m, w)
+        )(probs, va_masks)
+        preds = jax.vmap(
+            lambda pr: protein_loc_correction(pr, alpha, node_valid)
+        )(probs)
+        tr_m = jax.vmap(lambda pd, m: aim_cov_acc(labels, pd, m))(preds, tr_masks)
+        va_m = jax.vmap(lambda pd, m: aim_cov_acc(labels, pd, m))(preds, va_masks)
+        metrics = {
+            "train": {"aim": tr_m[0], "cov": tr_m[1], "acc": tr_m[2],
+                      "loss": train_losses},
+            "val": {"aim": va_m[0], "cov": va_m[1], "acc": va_m[2],
+                    "loss": val_losses},
+            "pred_num": jax.vmap(
+                lambda pd: jnp.sum(
+                    jnp.where(node_valid[:, None], pd, 0.0), axis=0
+                ).astype(jnp.int32)
+            )(preds),
+        }
+        if cfg.compute_auc:
+            metrics["val"]["auc_micro"] = jax.vmap(
+                lambda pr, m: micro_auc(pr, labels, m))(probs, va_masks)
+            metrics["val"]["auc_macro"] = jax.vmap(
+                lambda pr, m: macro_auc(pr, labels, m))(probs, va_masks)
+        return (params, opt_state, tr_masks, va_masks, alpha), (metrics, probs)
+
+    @jax.jit
+    def run_impl(pg, feats, labels, params, opt_state, tr_masks, va_masks, alpha):
+        del opt_state
+        # Fold-batched params update through ONE optax state (Adam is
+        # elementwise; a vmapped init would give a per-fold `count` that
+        # breaks unbatched updates).  Fresh init is exact: every round
+        # starts from step 0 (the reference re-creates the optimizer per
+        # fold, train.py:180).
+        opt_state = tx.init(params)
+        b = tr_masks.shape[0]
+        probs0 = jnp.zeros((b, feats.shape[0], labels.shape[1]), jnp.float32)
+
+        def body(carry, x):
+            state, _ = carry
+            state, (metrics, probs) = epoch_step(pg, feats, labels, state, x)
+            return (state, probs), metrics
+
+        (state, last_probs), history = jax.lax.scan(
+            body,
+            ((params, opt_state, tr_masks, va_masks, alpha), probs0),
+            None,
+            length=cfg.epoch_num,
+        )
+        # history leaves are (E, B); transpose to the (B, E) convention
+        history = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), history)
+        return state[0], last_probs, history
+
+    def run(params_batch, opt_batch, train_masks, val_masks, alpha):
+        return run_impl(pallas_graph, jnp.asarray(feats), labels,
+                        params_batch, opt_batch, train_masks, val_masks, alpha)
+
+    return run, tx
+
+
 def init_fold_params(key, cfg, in_feats: int, n_folds: int):
     init_fn, _ = MODEL_REGISTRY[cfg.model]
     keys = jax.random.split(key, n_folds)
@@ -194,7 +292,19 @@ def train(
     feats = jnp.asarray(feats)
     labels = jnp.asarray(labels)
 
-    run, tx = make_fold_runner(graph, feats, labels, class_weight, node_valid, cfg)
+    if cfg.spmm_impl == "pallas":
+        from ..ops.pallas.spmm_kernels import build_pallas_graph
+
+        e = graph.n_edges
+        src_np = np.asarray(graph.src)[:e]
+        dst_np = np.asarray(graph.dst)[:e]
+        rpb = 128 if graph.n_nodes % 128 == 0 else 8
+        pallas_graph = build_pallas_graph(src_np, dst_np, graph.n_nodes, rpb)
+        run, tx = make_batched_fold_runner(
+            graph, pallas_graph, feats, labels, class_weight, node_valid, cfg)
+    else:
+        run, tx = make_fold_runner(
+            graph, feats, labels, class_weight, node_valid, cfg)
 
     n_real = graph.n_real_nodes
     labels_np = np.asarray(labels)[:n_real]
@@ -222,16 +332,29 @@ def train(
             for start in range(0, cfg.fold_num, cfg.fold_batch):
                 stop = min(start + cfg.fold_batch, cfg.fold_num)
                 nb = stop - start
+                # pallas path needs B*F_pad % 1024 == 0: pad the batch with a
+                # duplicate of the last fold and discard its results
+                nb_run = nb
+                if cfg.spmm_impl == "pallas":
+                    while (nb_run * cfg.pallas_f_pad) % 1024 != 0:
+                        nb_run += 1
                 key, sub = jax.random.split(key)
-                params = init_fold_params(sub, cfg, in_feats, nb)
+                params = init_fold_params(sub, cfg, in_feats, nb_run)
                 opt_state = jax.vmap(tx.init)(params)
-                tr_masks = jnp.asarray(tr_masks_np[start:stop])
-                va_masks = jnp.asarray(va_masks_np[start:stop])
+                def _pad_batch(m):
+                    if nb_run == nb:
+                        return m[start:stop]
+                    reps = np.concatenate(
+                        [m[start:stop]] + [m[stop - 1:stop]] * (nb_run - nb))
+                    return reps
+                tr_masks = jnp.asarray(_pad_batch(tr_masks_np))
+                va_masks = jnp.asarray(_pad_batch(va_masks_np))
                 f_params, f_probs, history = run(
                     params, opt_state, tr_masks, va_masks, jnp.float32(alpha)
                 )
                 history = jax.device_get(history)
-                f_probs = np.asarray(f_probs)
+                history = jax.tree.map(lambda a: a[:nb], history)
+                f_probs = np.asarray(f_probs)[:nb]
 
                 for b in range(nb):
                     fold_flag = start + b + 1

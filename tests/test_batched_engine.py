@@ -1,0 +1,70 @@
+"""Fold-batched (pallas-kernel) training path vs the vmapped XLA path:
+identical history and logits from identical initial weights."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from plagnn_tpu.data import synthetic_dataset
+from plagnn_tpu.ops import from_scipy_coo, pad_features
+from plagnn_tpu.train import TrainConfig, weight_cal
+from plagnn_tpu.train.engine import (
+    init_fold_params,
+    make_batched_fold_runner,
+    make_fold_runner,
+)
+from plagnn_tpu.train.kfold import fold_node_masks
+from plagnn_tpu.ops.pallas.spmm_kernels import build_pallas_graph
+
+N = 120
+
+
+def test_batched_runner_matches_vmapped(rng):
+    ppi, feats, loc, label_list = synthetic_dataset(
+        n_nodes=N, n_edges=700, seed=7, feature_dims=(3, 10, 10)
+    )
+    graph = from_scipy_coo(
+        ppi, add_self_loops=True, widths=(4, 16, 64),
+        node_multiple=128, edge_multiple=64,
+    )
+    assert graph.n_nodes == 128
+    e = graph.n_edges
+    pg = build_pallas_graph(
+        np.asarray(graph.src)[:e], np.asarray(graph.dst)[:e],
+        graph.n_nodes, rows_per_block=128,
+    )
+    cfg = TrainConfig(
+        lr=1e-3, fold_num=2, epoch_num=3, compute_auc=False, verbose=False,
+        # tiny dims: hidden widths shrink; f_agg pad must satisfy B*F%1024
+        hidden=(13, 9, 7, 5), pallas_f_pad=512, pallas_interpret=True,
+    )
+    w = weight_cal(loc)
+    feats_p = jnp.asarray(pad_features(feats, graph.n_nodes))
+    labels_p = jnp.asarray(pad_features(loc, graph.n_nodes))
+    node_valid = jnp.asarray(np.arange(graph.n_nodes) < N)
+
+    tr_np, va_np = fold_node_masks(label_list, graph.n_nodes, 2, 12)
+    key = jax.random.PRNGKey(9)
+    params = init_fold_params(key, cfg, feats.shape[1], 2)
+
+    run_x, tx = make_fold_runner(graph, feats_p, labels_p, w, node_valid, cfg)
+    run_p, _ = make_batched_fold_runner(
+        graph, pg, feats_p, labels_p, w, node_valid, cfg)
+
+    opt = jax.vmap(tx.init)(params)
+    tr = jnp.asarray(tr_np)
+    va = jnp.asarray(va_np)
+    px, probs_x, hist_x = run_x(params, opt, tr, va, jnp.float32(0.1))
+    pp, probs_p, hist_p = run_p(params, opt, tr, va, jnp.float32(0.1))
+
+    for k in ("aim", "cov", "acc", "loss"):
+        np.testing.assert_allclose(
+            np.asarray(hist_p["val"][k]), np.asarray(hist_x["val"][k]),
+            rtol=2e-4, atol=1e-5, err_msg=f"val {k} diverged")
+        np.testing.assert_allclose(
+            np.asarray(hist_p["train"][k]), np.asarray(hist_x["train"][k]),
+            rtol=2e-4, atol=1e-5, err_msg=f"train {k} diverged")
+    # batched probs are (B, N, C) like the vmapped path
+    np.testing.assert_allclose(
+        np.asarray(probs_p)[:, :N], np.asarray(probs_x)[:, :N],
+        rtol=1e-3, atol=1e-5)
