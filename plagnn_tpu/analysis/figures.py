@@ -154,3 +154,38 @@ def fig_and_perf(fig_data_path: str, out_dir: str | None = None):
             plt.savefig(os.path.join(out_dir, f"{item}.png"))
             plt.close()
     return f_data
+
+
+def fig_alpha_data_from_txt(log_root: str):
+    """Compat port of the reference's txt-log scraper (figure.py:126-177):
+    pulls the final per-organelle prediction-count table of each fold run
+    back out of txt_log.txt and averages the counts.  Kept for byte-level
+    workflow compatibility; the structured path above is preferred."""
+    import re
+
+    dicts = {}
+    for paths in sorted(glob.glob(os.path.join(log_root, "GSE*"))):
+        file_path = os.path.join(paths, "normal", "txt_log.txt")
+        if not os.path.exists(file_path):
+            continue
+        with open(file_path) as f:
+            content = f.readlines()
+        content = content[3:]
+        item = os.path.basename(paths)
+        per_data = []
+        for i in range(len(content)):
+            if i > (len(content) - 3):
+                line = content[-1]
+                d = line.strip().split(")")[0:-1]
+                per_data.append(
+                    [p.split("%")[-1].strip().split("(")[-1] for p in d])
+                break
+            first, second, third = content[i], content[i + 1], content[i + 2]
+            if "-----" in second and "------" in third:
+                d = first.strip().split(")")[0:-1]
+                per_data.append(
+                    [p.split("%")[-1].strip().split("(")[-1] for p in d])
+        if per_data:
+            arr = np.array(per_data).astype(float)
+            dicts[item] = arr.mean(axis=0).tolist()
+    return dicts

@@ -181,16 +181,10 @@ def _spmm_fwd_kernel(
 
             @pl.when(d < r)
             def _():
-                # overwrite invalid (dummy-padded) rows with the identity,
-                # then reduce the whole slot with a log-depth static tree —
-                # far fewer instructions than per-row selects.
-                for j in range(G):
-                    s_j = idx_src[gi * G + j]
-
-                    @pl.when(s_j == dummy)
-                    def _():
-                        ring[slot, pl.ds(j * 8, 8), :] = jnp.full(
-                            (8, ring.shape[-1]), ident, jnp.float32)
+                # Padded slots DMA the dummy node's row, which the host
+                # pre-fills with the reduction identity (see _run_spmm), so
+                # no per-row masking is needed: reduce the whole slot with a
+                # log-depth static tree.
                 buf = ring[slot]  # (G*8, lane)
                 h = G * 8
                 while h > 8:
@@ -259,6 +253,15 @@ def _run_spmm(
     lane = stride // 8
     r = blocked.rows_per_block
     x_flat = x.reshape(n_pad * 8, lane)
+    # Identity-fill the dummy node's rows: padded edge slots point at it, so
+    # their DMA'd rows vanish in the reduction without any masking.
+    dummy = blocked.n_pad_nodes - 1
+    ident = _NEG if reduce == "max" else 0.0
+    x_flat = jax.lax.dynamic_update_slice(
+        x_flat,
+        jnp.full((8, lane), ident, jnp.float32),
+        (dummy * 8, 0),
+    )
 
     out_shapes = [jax.ShapeDtypeStruct((n_pad * 8, lane), jnp.float32)]
     out_specs = [pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
