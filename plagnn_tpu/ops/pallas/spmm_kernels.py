@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 T_E = 1024          # edges per index chunk (int32 1-D tile)
 G = 8               # edges per group (share one destination row)
 NG = 8              # group DMA slots in flight
-DEFAULT_R = 128     # destination rows per block
+# 64 rows/block keeps the argmax variant inside VMEM: double-buffered
+# out+argmax blocks + acc/argacc/ring ≈ 10 MB at B·F=5120 (R=128 needs ~17MB
+# and crashes the compiler).
+DEFAULT_R = 64
 
 _NEG = float(-jnp.inf)
 
