@@ -43,6 +43,9 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--no-auc", action="store_true")
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"])
+    p.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
+                   help="aggregation impl: XLA bucketed ELL, or the "
+                        "fold-batched Pallas kernels (TPU)")
 
 
 def _train(args, condition: str):
@@ -78,6 +81,7 @@ def _train(args, condition: str):
         seed=args.seed,
         fold_batch=args.fold_batch,
         compute_auc=not args.no_auc,
+        spmm_impl=args.spmm,
     )
     train(
         bundle.graph,
