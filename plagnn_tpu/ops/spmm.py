@@ -50,12 +50,15 @@ def _extend_and_gather(ell: MultiEll, parts, split_combine, zeros_like_row):
 
 
 def ell_reduce_max(
-    ell: MultiEll, x: jax.Array, *, with_argmax: bool = False
+    ell: MultiEll, x: jax.Array, *, with_argmax: bool = False,
+    empty_value: float = 0.0,
 ):
     """Max-reduce source features over the bucketed ELL.
 
     Returns ``(out, argsrc)`` where ``argsrc[i, f]`` is the source node id
     achieving the max (first hit on ties; -1 where the row is empty).
+    ``empty_value`` fills empty rows (0 = DGL semantics; −inf for partial
+    reductions that are max-combined later, e.g. halo overlap).
     """
     f = x.shape[-1]
     parts, argparts = [], []
@@ -79,8 +82,8 @@ def ell_reduce_max(
     def combine_max(sp, valid):
         return jnp.max(jnp.where(valid, sp, _NEG_INF), axis=1)
 
-    zeros = jnp.zeros((f,), x.dtype)
-    out = _extend_and_gather(ell, parts, combine_max, zeros)
+    fill = jnp.full((f,), empty_value, x.dtype)
+    out = _extend_and_gather(ell, parts, combine_max, fill)
     if not with_argmax:
         return out, None
 
@@ -153,22 +156,23 @@ def ell_masked_sum_eq(
 # ---------------------------------------------------------------------------
 
 
-def spmm_max(graph: Graph, x: jax.Array) -> jax.Array:
-    """``out[i] = max_{j ∈ N_in(i)} x[j]`` (0 for empty neighborhoods).
-
-    Matches DGL's ``update_all(fn.copy_u, fn.max)`` — the hottest kernel of
-    the reference's forward pass (SURVEY.md §3.1).  The VJP scatters each
-    output gradient to its recorded argmax source, routed through the
+def spmm_max(graph: Graph, x: jax.Array, empty_value: float = 0.0) -> jax.Array:
+    """``out[i] = max_{j ∈ N_in(i)} x[j]`` (``empty_value`` for empty
+    neighborhoods; 0 matches DGL's ``update_all(fn.copy_u, fn.max)`` — the
+    hottest kernel of the reference's forward pass, SURVEY.md §3.1; −inf
+    yields a partial reduction that max-combines exactly).  The VJP scatters
+    each output gradient to its recorded argmax source, routed through the
     transpose ELL so the backward pass is also scatter-free.
     """
 
     @jax.custom_vjp
     def _f(x):
-        out, _ = ell_reduce_max(graph.ell, x)
+        out, _ = ell_reduce_max(graph.ell, x, empty_value=empty_value)
         return out
 
     def _fwd(x):
-        out, argsrc = ell_reduce_max(graph.ell, x, with_argmax=True)
+        out, argsrc = ell_reduce_max(
+            graph.ell, x, with_argmax=True, empty_value=empty_value)
         return out, argsrc
 
     def _bwd(argsrc, g):

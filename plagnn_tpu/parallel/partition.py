@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -45,8 +45,10 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["local", "send_idx", "in_degree", "out_degree"],
-    meta_fields=["n_chips", "own_rows", "halo_per_peer", "n_real_nodes", "n_edges"],
+    data_fields=["local", "interior", "boundary", "send_idx",
+                 "in_degree", "out_degree"],
+    meta_fields=["n_chips", "own_rows", "halo_per_peer", "n_real_nodes",
+                 "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
@@ -55,6 +57,12 @@ class PartitionedGraph:
     local:      Graph whose array fields carry a leading (P,) axis (sharded
                 over the mesh 'graph' axis; meta fields are the common
                 harmonized dims).
+    interior/boundary: the same local edge set split into edges whose source
+                is OWNED (interior) vs a halo slot (boundary).  Aggregating
+                interior edges needs no communication, so XLA's scheduler
+                overlaps it with the halo all_to_all; partial max/sum results
+                combine associatively (ring-attention-style overlap, the
+                north-star requirement).  None when built with overlap=False.
     send_idx:   (P, P, S) int32 — send_idx[p, q, k] is the own-row index
                 (0..C) chip p sends to chip q's k-th halo slot; -1 = none.
     in_degree/out_degree: (P, C) int32 — *global* degrees of owned nodes
@@ -63,6 +71,8 @@ class PartitionedGraph:
     """
 
     local: Graph
+    interior: Optional[Graph]
+    boundary: Optional[Graph]
     send_idx: jax.Array
     in_degree: jax.Array
     out_degree: jax.Array
@@ -82,8 +92,12 @@ def partition_graph(
     add_self_loops: bool = False,
     node_multiple: int = 8,
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
+    overlap: bool = True,
 ) -> PartitionedGraph:
-    """Host-side 1-D destination-block partitioner."""
+    """Host-side 1-D destination-block partitioner.
+
+    overlap=True additionally materializes interior/boundary edge-set splits
+    for communication/compute overlap."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if add_self_loops:
@@ -145,20 +159,19 @@ def partition_graph(
         chip_edges.append((s_l, d_l))
 
     # Harmonize static dims across chips.
-    e_max = max(max(len(s), 1) for s, _ in chip_edges)
-    e_pad = _round_up(e_max, 256)
     node_pad_mult = 8
     n_pad_nodes = _round_up(n_local + 1, node_pad_mult)
-    fwd_dims, bwd_dims = [], []
-    for s_l, d_l in chip_edges:
-        fwd_dims.append(multi_ell_dims(s_l, d_l, n_pad_nodes, widths=widths))
-        bwd_dims.append(multi_ell_dims(d_l, s_l, n_pad_nodes, widths=widths))
-    fwd_dims = merge_ell_dims(fwd_dims)
-    bwd_dims = merge_ell_dims(bwd_dims)
 
-    graphs = []
-    for s_l, d_l in chip_edges:
-        graphs.append(
+    def build_harmonized(edge_sets):
+        e_max = max(max(len(s), 1) for s, _ in edge_sets)
+        e_pad = _round_up(e_max, 256)
+        fwd_dims, bwd_dims = [], []
+        for s_l, d_l in edge_sets:
+            fwd_dims.append(multi_ell_dims(s_l, d_l, n_pad_nodes, widths=widths))
+            bwd_dims.append(multi_ell_dims(d_l, s_l, n_pad_nodes, widths=widths))
+        fwd_dims = merge_ell_dims(fwd_dims)
+        bwd_dims = merge_ell_dims(bwd_dims)
+        return [
             build_graph(
                 s_l, d_l, n_local,
                 add_self_loops=False,
@@ -168,7 +181,19 @@ def partition_graph(
                 force_ell_dims=fwd_dims,
                 force_ell_t_dims=bwd_dims,
             )
-        )
+            for s_l, d_l in edge_sets
+        ]
+
+    graphs = build_harmonized(chip_edges)
+    interior_graphs = boundary_graphs = None
+    if overlap:
+        interior_edges, boundary_edges = [], []
+        for s_l, d_l in chip_edges:
+            own = s_l < c
+            interior_edges.append((s_l[own], d_l[own]))
+            boundary_edges.append((s_l[~own], d_l[~own]))
+        interior_graphs = build_harmonized(interior_edges)
+        boundary_graphs = build_harmonized(boundary_edges)
     # All meta dims now match; stack arrays with a leading chip axis.
     metas = {f.name: getattr(graphs[0], f.name)
              for f in dataclasses.fields(Graph)
@@ -181,31 +206,36 @@ def partition_graph(
     metas["n_edges"] = max(g.n_edges for g in graphs)
     metas["n_real_nodes"] = n_local
 
-    def stack(field):
-        return jnp.stack([getattr(g, field) for g in graphs])
+    def stack_graphs(glist):
+        def stack(field):
+            return jnp.stack([getattr(g, field) for g in glist])
 
-    def stack_tree(field):
-        return jax.tree.map(lambda *xs: jnp.stack(xs),
-                            *[getattr(g, field) for g in graphs])
+        def stack_tree(field):
+            return jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[getattr(g, field) for g in glist])
 
-    # Padded-edge validity differs per chip; segment reference paths are not
-    # used on partitioned graphs, so the COO arrays are stacked as-is.
-    stacked = Graph(
-        src=stack("src"),
-        dst=stack("dst"),
-        indptr=stack("indptr"),
-        in_degree=stack("in_degree"),
-        out_degree=stack("out_degree"),
-        ell=stack_tree("ell"),
-        ell_t=stack_tree("ell_t"),
-        n_nodes=metas["n_nodes"],
-        n_real_nodes=metas["n_real_nodes"],
-        n_edges=metas["n_edges"],
-        n_pad_edges=metas["n_pad_edges"],
-    )
+        # Padded-edge validity differs per chip; segment reference paths are
+        # not used on partitioned graphs, so COO arrays are stacked as-is.
+        return Graph(
+            src=stack("src"),
+            dst=stack("dst"),
+            indptr=stack("indptr"),
+            in_degree=stack("in_degree"),
+            out_degree=stack("out_degree"),
+            ell=stack_tree("ell"),
+            ell_t=stack_tree("ell_t"),
+            n_nodes=glist[0].n_nodes,
+            n_real_nodes=n_local,
+            n_edges=max(g.n_edges for g in glist),
+            n_pad_edges=glist[0].n_pad_edges,
+        )
+
+    stacked = stack_graphs(graphs)
 
     return PartitionedGraph(
         local=stacked,
+        interior=stack_graphs(interior_graphs) if interior_graphs else None,
+        boundary=stack_graphs(boundary_graphs) if boundary_graphs else None,
         send_idx=jnp.asarray(send_idx),
         in_degree=jnp.asarray(in_deg.reshape(p, c)),
         out_degree=jnp.asarray(out_deg.reshape(p, c)),

@@ -77,28 +77,52 @@ def gather_space(
 
 
 def sharded_sage_conv(
-    params, local_graph: Graph, send_idx_p, x_own, aggregator: str = "pool"
+    params, local_graph: Graph, send_idx_p, x_own, aggregator: str = "pool",
+    interior: Graph = None, boundary: Graph = None,
 ):
     """SAGEConv over a destination-block shard.
 
-    The pooling MLP runs on owned rows (row-parallel GEMM), then pooled
-    boundary rows ride the all-to-all, overlapping with nothing yet —
-    XLA schedules the local fc_self GEMM alongside the collective.
+    With interior/boundary edge splits, the interior aggregation has no data
+    dependence on the all_to_all, so XLA's latency-hiding scheduler overlaps
+    the halo exchange with local compute; −inf-filled partial maxima combine
+    exactly (interior includes the self-loop, and pooled features are
+    relu-nonnegative, so tie-split gradients at zero maxima die at relu').
     """
     c = x_own.shape[0]
+    overlap = interior is not None and boundary is not None
     if aggregator == "pool":
         pooled = jax.nn.relu(
             jnp.dot(x_own, params["w_pool"], preferred_element_type=jnp.float32,
                     precision=matmul_precision())
             + params["b_pool"]
         )
-        halo = halo_exchange(pooled, send_idx_p)
-        xl = gather_space(pooled, halo, local_graph.n_nodes)
-        m = spmm_max(local_graph, xl)[:c]
+        if overlap:
+            zeros_halo = jnp.zeros(
+                (local_graph.n_nodes - c, pooled.shape[-1]), pooled.dtype)
+            xl_int = jnp.concatenate([pooled, zeros_halo], axis=0)
+            m_int = spmm_max(interior, xl_int, empty_value=-jnp.inf)[:c]
+            halo = halo_exchange(pooled, send_idx_p)
+            xl_bnd = gather_space(pooled, halo, local_graph.n_nodes)
+            m_bnd = spmm_max(boundary, xl_bnd, empty_value=-jnp.inf)[:c]
+            m = jnp.maximum(m_int, m_bnd)
+            m = jnp.where(jnp.isneginf(m), 0.0, m)
+        else:
+            halo = halo_exchange(pooled, send_idx_p)
+            xl = gather_space(pooled, halo, local_graph.n_nodes)
+            m = spmm_max(local_graph, xl)[:c]
     elif aggregator == "sum":
-        halo = halo_exchange(x_own, send_idx_p)
-        xl = gather_space(x_own, halo, local_graph.n_nodes)
-        m = spmm_sum(local_graph, xl)[:c]
+        if overlap:
+            zeros_halo = jnp.zeros(
+                (local_graph.n_nodes - c, x_own.shape[-1]), x_own.dtype)
+            xl_int = jnp.concatenate([x_own, zeros_halo], axis=0)
+            m_int = spmm_sum(interior, xl_int)[:c]
+            halo = halo_exchange(x_own, send_idx_p)
+            xl_bnd = gather_space(x_own, halo, local_graph.n_nodes)
+            m = m_int + spmm_sum(boundary, xl_bnd)[:c]
+        else:
+            halo = halo_exchange(x_own, send_idx_p)
+            xl = gather_space(x_own, halo, local_graph.n_nodes)
+            m = spmm_sum(local_graph, xl)[:c]
     else:
         raise ValueError(aggregator)
     return (
@@ -130,13 +154,15 @@ def sharded_gcn_propagate(
     return s
 
 
-def sharded_gnn32_apply(params, local_graph, send_idx_p, x_own):
+def sharded_gnn32_apply(params, local_graph, send_idx_p, x_own,
+                        interior=None, boundary=None):
     """GNN32 forward on one graph shard (mirrors models.gnn32_apply)."""
-    h = sharded_sage_conv(params["conv1"], local_graph, send_idx_p, x_own)
+    kw = dict(interior=interior, boundary=boundary)
+    h = sharded_sage_conv(params["conv1"], local_graph, send_idx_p, x_own, **kw)
     h = jax.nn.leaky_relu(h)
-    h = sharded_sage_conv(params["conv2"], local_graph, send_idx_p, h)
+    h = sharded_sage_conv(params["conv2"], local_graph, send_idx_p, h, **kw)
     h = jax.nn.leaky_relu(h)
-    h = sharded_sage_conv(params["conv3"], local_graph, send_idx_p, h)
+    h = sharded_sage_conv(params["conv3"], local_graph, send_idx_p, h, **kw)
     h = jax.nn.leaky_relu(h)
     h = L.linear(params["liner1"], h)
     h = jax.nn.leaky_relu(h)
@@ -150,23 +176,34 @@ def sharded_gnn32_apply(params, local_graph, send_idx_p, x_own):
 
 
 def make_sharded_forward(mesh: Mesh, pgraph: PartitionedGraph):
-    """jit'd forward: params replicated, features/output row-sharded."""
+    """jit'd forward: params replicated, features/output row-sharded.
+    Uses overlapped interior/boundary aggregation when the partition
+    carries the edge split."""
+    has_overlap = pgraph.interior is not None
 
-    def fwd_shard(local_graph, send_idx, x_own, params):
+    def fwd_shard(local_graph, send_idx, x_own, params, *split):
         x_own = x_own[0]          # strip the size-1 'graph'-sharded lead axis
         send_idx_p = send_idx[0]
         lg = jax.tree.map(lambda a: a[0], local_graph)
-        out = sharded_gnn32_apply(params, lg, send_idx_p, x_own)
+        if split:
+            interior = jax.tree.map(lambda a: a[0], split[0])
+            boundary = jax.tree.map(lambda a: a[0], split[1])
+        else:
+            interior = boundary = None
+        out = sharded_gnn32_apply(params, lg, send_idx_p, x_own,
+                                  interior=interior, boundary=boundary)
         return out[None]
 
+    extra_specs = (P(GRAPH_AXIS), P(GRAPH_AXIS)) if has_overlap else ()
     f = jax.shard_map(
         fwd_shard,
         mesh=mesh,
-        in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
+        in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS), P()) + extra_specs,
         out_specs=P(GRAPH_AXIS),
     )
+    extra = (pgraph.interior, pgraph.boundary) if has_overlap else ()
     return jax.jit(lambda params, x_shards: f(
-        pgraph.local, pgraph.send_idx, x_shards, params
+        pgraph.local, pgraph.send_idx, x_shards, params, *extra
     ))
 
 
@@ -184,18 +221,26 @@ def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weig
     Returns (params, opt_state, loss (B_folds,), probs (B_folds, P, C, cls)).
     """
     w = jnp.asarray(class_weight, jnp.float32)
+    has_overlap = pgraph.interior is not None
 
     def step_shard(local_graph, send_idx, x_own, labels_own,
-                   params, opt_state, tr_mask_own):
+                   params, opt_state, tr_mask_own, *split):
         lg = jax.tree.map(lambda a: a[0], local_graph)  # strip graph lead axis
         send_idx_p = send_idx[0]
         x = x_own[0]
         y = labels_own[0]
         tr = tr_mask_own[:, 0, :]  # (B_local, C)
+        if split:
+            interior = jax.tree.map(lambda a: a[0], split[0])
+            boundary = jax.tree.map(lambda a: a[0], split[1])
+        else:
+            interior = boundary = None
 
         def fold_step(p, o, trm):
             def loss_fn(pp):
-                probs = sharded_gnn32_apply(pp, lg, send_idx_p, x)
+                probs = sharded_gnn32_apply(pp, lg, send_idx_p, x,
+                                            interior=interior,
+                                            boundary=boundary)
                 m = trm.astype(probs.dtype)
                 n_total = jax.lax.psum(jnp.sum(m), GRAPH_AXIS)
                 wb = w[None, :]
@@ -216,6 +261,7 @@ def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weig
         params_f, opt_f, loss_f, probs_f = jax.vmap(fold_step)(params, opt_state, tr)
         return params_f, opt_f, loss_f, probs_f[:, None]
 
+    extra_specs = (P(GRAPH_AXIS), P(GRAPH_AXIS)) if has_overlap else ()
     step = jax.shard_map(
         step_shard,
         mesh=mesh,
@@ -227,18 +273,19 @@ def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weig
             P(FOLD_AXIS),                 # params (B_folds, ...)
             P(FOLD_AXIS),                 # opt state
             P(FOLD_AXIS, GRAPH_AXIS),     # train masks (B_folds, P, C)
-        ),
+        ) + extra_specs,
         out_specs=(
             P(FOLD_AXIS), P(FOLD_AXIS), P(FOLD_AXIS),
             P(FOLD_AXIS, GRAPH_AXIS),
         ),
     )
+    extra = (pgraph.interior, pgraph.boundary) if has_overlap else ()
 
     @jax.jit
     def run(params, opt_state, x_shards, label_shards, tr_masks):
         return step(
             pgraph.local, pgraph.send_idx, x_shards, label_shards,
-            params, opt_state, tr_masks,
+            params, opt_state, tr_masks, *extra,
         )
 
     return run

@@ -140,3 +140,23 @@ def test_sharded_train_step_matches_single_chip(bundle):
             lambda g, e: np.testing.assert_allclose(g, e, rtol=1e-4, atol=1e-6),
             got, exp,
         )
+
+
+def test_overlap_matches_no_overlap(bundle):
+    """Interior/boundary-split (communication-overlapped) aggregation equals
+    the monolithic halo path."""
+    ppi, feats, loc, _, graph, pg = bundle
+    pg_plain = partition_graph(
+        ppi.row, ppi.col, N, n_chips=4, add_self_loops=True,
+        widths=(4, 16, 64), overlap=False,
+    )
+    assert pg.interior is not None and pg_plain.interior is None
+    mesh = make_mesh(n_graph=4, n_fold=1)
+    params = init_gnn32(jax.random.PRNGKey(3), feats.shape[1], 13, 9, 7, 5, 12)
+    x_shards = jnp.asarray(shard_features(feats, pg))
+    out_a = np.asarray(make_sharded_forward(mesh, pg)(params, x_shards))
+    out_b = np.asarray(make_sharded_forward(mesh, pg_plain)(params, x_shards))
+    np.testing.assert_allclose(
+        unshard_rows(out_a, pg), unshard_rows(out_b, pg_plain),
+        rtol=1e-5, atol=1e-6,
+    )
