@@ -16,6 +16,13 @@ Prints exactly ONE JSON line to stdout; details go to stderr.
 Timing note: ``block_until_ready`` is unreliable through the remote-TPU
 tunnel — every measurement syncs via a scalar device→host transfer.
 """
+import os as _os
+# Persistent compiled-executable cache: remote-TPU compiles are slow and the
+# service throughput varies; cached executables skip them entirely.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import json
 import sys
 import time
