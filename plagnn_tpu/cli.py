@@ -43,6 +43,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--no-auc", action="store_true")
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"])
+    p.add_argument("--agg-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="aggregation message dtype (bfloat16 halves SpMM "
+                        "gather traffic; float32 = reference parity)")
     p.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
                    help="aggregation impl: XLA bucketed ELL, or the "
                         "fold-batched Pallas kernels (TPU)")
@@ -56,7 +60,10 @@ def _train(args, condition: str):
     from .train.kfold import FOLD_SEEDS
     from .utils.precision import set_matmul_precision
 
+    from .utils.precision import set_aggregation_dtype
+
     set_matmul_precision(args.precision)
+    set_aggregation_dtype(args.agg_dtype)
     bundle = load_condition(args.data_root, args.data, condition)
     subdir = "normal" if condition == "normal" else "perturbation"
     log_path = os.path.join(args.data_root, "log", args.data, subdir) + os.sep

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops.graph_format import Graph
 from ..ops.spmm import gcn_propagate, spmm_max, spmm_mean, spmm_sum
-from ..utils.precision import matmul_precision
+from ..utils.precision import aggregation_dtype, matmul_precision
 
 Params = Dict[str, jax.Array]
 
@@ -92,7 +92,11 @@ def sage_conv(
                 precision=matmul_precision())
             + params["b_pool"]
         )
-        m = spmm_max(graph, pooled)
+        agg_dt = aggregation_dtype()
+        if agg_dt is not None:
+            m = spmm_max(graph, pooled.astype(agg_dt)).astype(x.dtype)
+        else:
+            m = spmm_max(graph, pooled)
     elif aggregator == "mean":
         m = spmm_mean(graph, x)
     elif aggregator == "sum":

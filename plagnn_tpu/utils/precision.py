@@ -28,3 +28,23 @@ def set_matmul_precision(p) -> None:
 
 def matmul_precision():
     return _MATMUL_PRECISION
+
+
+_AGG_DTYPE = None  # None = keep input dtype (f32 parity); jnp.bfloat16 = perf
+
+
+def set_aggregation_dtype(dtype) -> None:
+    """dtype for neighborhood-aggregation messages: None keeps f32 (parity);
+    'bfloat16' halves the gather traffic of the SpMM hot loop (max is
+    order-preserving in bf16; values round to 8-bit mantissa)."""
+    global _AGG_DTYPE
+    if isinstance(dtype, str):
+        import jax.numpy as jnp
+
+        dtype = {"float32": None, "bfloat16": jnp.bfloat16,
+                 "none": None}[dtype.lower()]
+    _AGG_DTYPE = dtype
+
+
+def aggregation_dtype():
+    return _AGG_DTYPE
