@@ -107,7 +107,7 @@ def main():
 
             src = np.asarray(graph.src)[:e_real]
             dst = np.asarray(graph.dst)[:e_real]
-            pg = build_pallas_graph(src, dst, graph.n_nodes, 128)
+            pg = build_pallas_graph(src, dst, graph.n_nodes)
             xb = jnp.broadcast_to(
                 x[:, None, :503], (graph.n_nodes, FOLDS, 503)
             )

@@ -134,6 +134,12 @@ def main(argv=None):
 
     p = sub.add_parser("figures", help="metric curves / distribution figures")
     p.add_argument("--data-root", default="data")
+    p.add_argument("--diff-hist", action="store_true",
+                   help="also render ΔPCC linked/unlinked histograms "
+                        "(figure.py save_diff/fig)")
+    p.add_argument("--alpha-dist", action="store_true",
+                   help="also render per-organelle distribution bars + JS "
+                        "distance (figure.py fig_alpha)")
 
     p = sub.add_parser("synth", help="write a synthetic dataset bundle")
     p.add_argument("--data-root", default="data")
@@ -180,11 +186,39 @@ def main(argv=None):
     elif args.cmd == "figures":
         import glob
 
-        from .analysis.figures import fig_and_perf
+        import numpy as np
+        import scipy.sparse as sp
+
+        from .analysis.figures import (
+            diff_histogram, fig_alpha, fig_and_perf, plot_diff_histogram,
+        )
+        from .data.expression import pcc_factors
 
         for fd in glob.glob(os.path.join(args.data_root, "log", "GSE*", "*",
                                          "fig_data_*.json")):
             fig_and_perf(fd, out_dir=os.path.dirname(fd))
+        gm = os.path.join(args.data_root, "generate_materials")
+        if args.diff_hist:
+            ppi = sp.load_npz(os.path.join(gm, "PPI_normal.npz"))
+            for dsd in glob.glob(os.path.join(gm, "GSE*_data")):
+                en = os.path.join(dsd, "expr_normal.npy")
+                ei = os.path.join(dsd, "expr_inter.npy")
+                if not (os.path.exists(en) and os.path.exists(ei)):
+                    continue
+                z_n = pcc_factors(np.load(en))
+                z_i = pcc_factors(np.load(ei))
+                bins, linked, unlinked = diff_histogram(z_i, z_n, ppi)
+                plot_diff_histogram(
+                    bins, linked, unlinked, os.path.basename(dsd),
+                    os.path.join(dsd, "diff_hist.png"))
+        if args.alpha_dist:
+            loc = sp.load_npz(os.path.join(gm, "loc_matrix.npz")).toarray()
+            label_dist = loc.sum(0) / max(loc.sum(), 1)
+            for ld in glob.glob(os.path.join(args.data_root, "log", "GSE*",
+                                             "*")):
+                if os.path.isdir(ld):
+                    fig_alpha(ld, os.path.join(ld, "alpha_dist.png"),
+                              label_dist)
     elif args.cmd == "synth":
         _write_synth(args)
     elif args.cmd == "bench":

@@ -160,3 +160,31 @@ def test_overlap_matches_no_overlap(bundle):
         unshard_rows(out_a, pg), unshard_rows(out_b, pg_plain),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sharded_gcn_propagate_matches_single_chip(bundle):
+    from plagnn_tpu.ops.spmm import gcn_propagate
+    from plagnn_tpu.parallel.sharded import (
+        GRAPH_AXIS, sharded_gcn_propagate,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    ppi, feats, loc, _, graph, pg = bundle
+    mesh = make_mesh(n_graph=4, n_fold=1)
+    xp = jnp.asarray(pad_features(feats, graph.n_nodes))
+    ref = np.asarray(gcn_propagate(graph, xp))[:N]
+
+    def shard_fn(lg, send_idx, x_own, din, dout):
+        lg = jax.tree.map(lambda a: a[0], lg)
+        out = sharded_gcn_propagate(
+            lg, send_idx[0], x_own[0], din[0], dout[0])
+        return out[None]
+
+    f = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(GRAPH_AXIS),) * 5, out_specs=P(GRAPH_AXIS),
+    )
+    x_shards = jnp.asarray(shard_features(feats, pg))
+    out = f(pg.local, pg.send_idx, x_shards, pg.in_degree, pg.out_degree)
+    np.testing.assert_allclose(unshard_rows(np.asarray(out), pg), ref,
+                               rtol=1e-5, atol=1e-6)
