@@ -10,7 +10,6 @@ the reference line formats.
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict, Sequence, Tuple
 
@@ -18,7 +17,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..data.expression import pcc_factors
-from ..data.topology import diff_stats, modify_network_topology
+from ..data.topology import diff_stats
 
 
 def threshold_counts(

@@ -15,7 +15,7 @@ SURVEY.md §7 hard part 5).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import pandas as pd

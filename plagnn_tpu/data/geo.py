@@ -15,8 +15,6 @@ probes without a mapping are dropped, column order is uniprot_id first.
 from __future__ import annotations
 
 import csv
-from typing import Dict, List
-
 import pandas as pd
 
 

@@ -10,7 +10,7 @@ of BASELINE.json's scaling sweep uses the same generator.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

@@ -12,10 +12,7 @@ ever created); we keep that quirk so hyperparameter configs port 1:1.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
-import jax.numpy as jnp
 
 from ..ops.graph_format import Graph
 from . import layers

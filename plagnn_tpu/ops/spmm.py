@@ -20,9 +20,6 @@ SURVEY.md §2.2 "DGL autograd bridge").
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

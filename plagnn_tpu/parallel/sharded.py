@@ -12,18 +12,14 @@ Mesh axes:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import layers as L
 from ..ops.graph_format import Graph
 from ..ops.spmm import spmm_max, spmm_sum
-from ..train.losses import multi_loss
 from ..utils.precision import matmul_precision
 from .partition import PartitionedGraph
 

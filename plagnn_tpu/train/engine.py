@@ -22,7 +22,6 @@ import dataclasses
 import datetime
 import json
 import os
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import numpy as np

@@ -9,7 +9,7 @@ it directly and convert the index splits into static boolean node masks.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from sklearn.model_selection import KFold
