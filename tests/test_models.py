@@ -139,3 +139,38 @@ def test_init_distributions(rng):
     bp = np.asarray(p["b_pool"])
     b2 = 1.0 / math.sqrt(503)
     assert bp.min() >= -b2 and bp.max() <= b2
+
+
+def test_gcn2_model(rng):
+    """GCN2 (2-layer GraphConv, BASELINE config 1) against a dense oracle."""
+    from plagnn_tpu.models import gcn2_apply, init_gcn2
+
+    g, src, dst = make_graph(rng)
+    n, fin, hid = 80, 11, 8
+    x = rng.standard_normal((n, fin)).astype(np.float32)
+    params = init_gcn2(jax.random.PRNGKey(1), fin, hid)
+    xp = jnp.asarray(pad_features(x, g.n_nodes))
+    out = np.asarray(jax.jit(lambda p, x: gcn2_apply(p, g, x))(params, xp))
+
+    # dense oracle: D^-1/2 A D^-1/2 with explicit self loops
+    a = np.zeros((g.n_nodes, g.n_nodes), np.float32)
+    a[src, dst] = 1.0
+    a[np.arange(n), np.arange(n)] = 1.0
+    d_in = np.maximum(a.sum(0), 1.0)
+    d_out = np.maximum(a.sum(1), 1.0)
+
+    def prop(h):
+        return (a.T @ (h / np.sqrt(d_out)[:, None])) / np.sqrt(d_in)[:, None]
+
+    w1 = np.asarray(params["conv1"]["weight"])
+    b1 = np.asarray(params["conv1"]["bias"])
+    w2 = np.asarray(params["conv2"]["weight"])
+    b2 = np.asarray(params["conv2"]["bias"])
+    h = np.asarray(xp)
+    # in_feats(11) > hidden(8): W first, then propagate (DGL mat-mul order)
+    h = prop(h @ w1) + b1
+    h = np.maximum(h, 0)
+    # hidden(8) < classes(12): propagate first, then W
+    h = prop(h) @ w2 + b2
+    ref = 1.0 / (1.0 + np.exp(-h))
+    np.testing.assert_allclose(out[:n], ref[:n], rtol=1e-4, atol=1e-5)
