@@ -13,6 +13,17 @@ regardless of its content.  These kernels attack both constants:
   multiple of G), so the scalar-loop overhead is amortized 8x and the
   combine runs as a static VPU reduction tree.
 
+Scalar-core DMA issue rate is the binding constraint (~38 ns per
+start+wait pair measured on v5e), so the layout minimizes descriptor
+count, not just bytes:
+
+* block edge lists are G-aligned, not chunk-aligned — the last index chunk
+  of each block is partial (loop bounds, no padded-slot DMAs);
+* each ring slot's G copies share ONE byte-counting semaphore and are
+  retired by a single whole-slot wait;
+* the backward fuses gradient + bitcast argmax lanes per node row so each
+  transpose edge costs ONE DMA instead of two.
+
 Layout: x (N_pad, B, F_pad) f32 viewed as (N_pad*8, B*F_pad/8): a node row
 is an 8-sublane-aligned (8, lanes) slice (Mosaic's DMA alignment rule);
 B*F_pad must be a multiple of 1024.
@@ -37,6 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 T_E = 1024          # edges per index chunk (int32 1-D tile)
 G = 8               # edges per group (share one destination row)
 NG = 8              # group DMA slots in flight
+# Groups retired per scalar-loop iteration. >1 was tried and is NOT a win:
+# the kernels run at ~520 GB/s effective HBM rate (the achievable ceiling for
+# 20-40 KB random-row DMAs on v5e), so loop overhead is already hidden — and
+# Mosaic compile time explodes on the unrolled body (>10 min remote).
+U = 1
 # 64 rows/block keeps the argmax variant inside VMEM: double-buffered
 # out+argmax blocks + acc/argacc/ring ≈ 10 MB at B·F=5120 (R=128 needs ~17MB
 # and crashes the compiler).
@@ -56,11 +72,11 @@ def _round_up(x: int, m: int) -> int:
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedCsr:
-    """Destination-blocked, row-group-padded, chunk-padded CSR."""
+    """Destination-blocked, row-group-padded CSR (block lists G-aligned)."""
 
-    blk_ptr: jax.Array     # (n_blocks + 1,) int32, multiples of T_E
-    src: jax.Array         # (E_pad,) int32 source ids (dummy node for pad)
-    dst_local: jax.Array   # (E_pad,) int32 dst row within block (R for pad)
+    blk_ptr: jax.Array     # (n_blocks + 1,) int32, multiples of G
+    src: jax.Array         # (E_pad + 2*T_E,) int32 source ids (dummy for pad)
+    dst_local: jax.Array   # (E_pad + 2*T_E,) int32 dst row within block (R for pad)
     n_blocks: int
     rows_per_block: int
     n_pad_nodes: int
@@ -74,8 +90,10 @@ def build_blocked_csr(
     rows_per_block: int = DEFAULT_R,
 ) -> BlockedCsr:
     """Sort edges by (dst, src); pad each destination row's edge list to a
-    multiple of G; group rows into R-row blocks, padding each block's edge
-    list to a multiple of T_E."""
+    multiple of G; group rows into R-row blocks.  Block edge lists stay
+    G-aligned (the kernel's last index chunk per block is partial); the
+    arrays carry 2*T_E trailing dummy slots so the T_E-aligned 2*T_E-wide
+    index-window DMAs may overrun the final block."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     order = np.lexsort((src, dst))
@@ -83,6 +101,10 @@ def build_blocked_csr(
     r = rows_per_block
     assert n_pad_nodes % r == 0, "pad node count to a multiple of rows_per_block"
     dummy = n_pad_nodes - 1
+    if len(src):
+        assert src.max() < dummy and dst.max() < dummy, (
+            "node id n_pad_nodes-1 is reserved for the padding dummy"
+        )
 
     # Per-row padding to group multiples.
     counts = np.bincount(dst, minlength=n_pad_nodes)
@@ -90,34 +112,22 @@ def build_blocked_csr(
     row_start = np.zeros(n_pad_nodes + 1, np.int64)
     np.cumsum(padded_counts, out=row_start[1:])
     e_rows = int(row_start[-1])
-    src_r = np.full(e_rows, dummy, np.int32)
-    dst_r = np.repeat(np.arange(n_pad_nodes), padded_counts)
+    src_r = np.full(e_rows + 2 * T_E, dummy, np.int32)
+    dst_r = np.full(e_rows + 2 * T_E, r, np.int32)
+    dst_r[:e_rows] = np.repeat(
+        np.arange(n_pad_nodes) % r, padded_counts)
     orig_start = np.zeros(n_pad_nodes, np.int64)
     np.cumsum(counts[:-1], out=orig_start[1:])
     pos = row_start[dst] + (np.arange(len(src)) - orig_start[dst])
     src_r[pos] = src
 
-    # Block grouping + chunk padding.
     n_blocks = n_pad_nodes // r
-    blk_of = dst_r // r
-    bcounts = np.bincount(blk_of, minlength=n_blocks)
-    bpadded = np.maximum(T_E, ((bcounts + T_E - 1) // T_E) * T_E)
-    blk_ptr = np.zeros(n_blocks + 1, np.int64)
-    np.cumsum(bpadded, out=blk_ptr[1:])
-    e_pad = int(blk_ptr[-1])
-
-    src_p = np.full(e_pad, dummy, np.int32)
-    dstl_p = np.full(e_pad, r, np.int32)  # r => padded group, skip
-    bstart = np.zeros(n_blocks, np.int64)
-    np.cumsum(bcounts[:-1], out=bstart[1:])
-    pos2 = blk_ptr[blk_of] + (np.arange(e_rows) - bstart[blk_of])
-    src_p[pos2] = src_r
-    dstl_p[pos2] = dst_r - blk_of * r
+    blk_ptr = row_start[:: r].copy()  # (n_blocks + 1,), G-aligned
 
     return BlockedCsr(
         blk_ptr=jnp.asarray(blk_ptr, jnp.int32),
-        src=jnp.asarray(src_p),
-        dst_local=jnp.asarray(dstl_p),
+        src=jnp.asarray(src_r),
+        dst_local=jnp.asarray(dst_r),
         n_blocks=n_blocks,
         rows_per_block=r,
         n_pad_nodes=n_pad_nodes,
@@ -130,41 +140,48 @@ def _spmm_fwd_kernel(
     src_hbm, dstl_hbm, x_hbm,
     out_ref, arg_ref,
     acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems,
-    *, reduce: str, with_argmax: bool, r: int, dummy: int,
+    *, reduce: str, with_argmax: bool, r: int, dummy: int, unroll: int = U,
 ):
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
-    n_chunks = (e1 - e0) // T_E
-    n_groups = T_E // G
+    n_chunks = (e1 - e0 + T_E - 1) // T_E
     ident = _NEG if reduce == "max" else 0.0
     acc[...] = jnp.full(acc.shape, ident, jnp.float32)
     if with_argmax:
         argacc[...] = jnp.full(argacc.shape, -1, jnp.int32)
 
     def edge_dma(slot, j, node):
-        # ring slot holds G node-rows of 8 sublanes each
+        # ring slot holds G node-rows of 8 sublanes each; all G copies of a
+        # slot share one byte-counting semaphore.
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
             ring.at[slot, pl.ds(j * 8, 8)],
-            sems.at[slot, j],
+            sems.at[slot],
         )
-
-    def start_group(gi, slot):
-        for j in range(G):
-            edge_dma(slot, j, idx_src[gi * G + j]).start()
-
-    def wait_group(gi, slot):
-        for j in range(G):
-            edge_dma(slot, j, idx_src[gi * G + j]).wait()
 
     def chunk_body(c, _):
         base = e0 + c * T_E
+        n_groups = jnp.minimum(e1 - base, T_E) // G
+        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
+        # covering [base, base + T_E) and index with the in-window offset
+        aligned = (base // T_E) * T_E
+        off = base - aligned
+
+        def start_group(gi, slot):
+            for j in range(G):
+                edge_dma(slot, j, idx_src[off + gi * G + j]).start()
+
+        def wait_group(gi, slot):
+            # one wait retires the slot's G copies (byte-counting semaphore)
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, G * 8)], ring.at[slot], sems.at[slot]
+            ).wait()
         cp_s = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(pl.multiple_of(base, T_E), T_E)],
+            src_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
             idx_src, idx_sems.at[0])
         cp_d = pltpu.make_async_copy(
-            dstl_hbm.at[pl.ds(pl.multiple_of(base, T_E), T_E)],
+            dstl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
             idx_dstl, idx_sems.at[1])
         cp_s.start()
         cp_d.start()
@@ -175,12 +192,12 @@ def _spmm_fwd_kernel(
             start_group(gi, gi % NG)
             return 0
 
-        jax.lax.fori_loop(0, NG, warm, 0)
+        jax.lax.fori_loop(0, jnp.minimum(NG, n_groups), warm, 0)
 
-        def group(gi, _):
+        def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            d = idx_dstl[gi * G]
+            d = idx_dstl[off + gi * G]
 
             @pl.when(d < r)
             def _():
@@ -208,7 +225,7 @@ def _spmm_fwd_kernel(
                         for j in range(G - 1, -1, -1):
                             ag = jnp.where(
                                 ring[slot, pl.ds(j * 8, 8), :] == m,
-                                idx_src[gi * G + j], ag)
+                                idx_src[off + gi * G + j], ag)
                         upd = m > cur
                         cur_arg = argacc[pl.ds(d8, 8), :]
                         argacc[pl.ds(d8, 8), :] = jnp.where(upd, ag, cur_arg)
@@ -219,9 +236,21 @@ def _spmm_fwd_kernel(
             @pl.when(gi + NG < n_groups)
             def _():
                 start_group(gi + NG, slot)
+
+        # scalar fori_loop iterations cost ~300 ns each regardless of body —
+        # retire U groups per iteration, then a short remainder loop.
+        def group_u(it, _):
+            for u in range(unroll):
+                group_body(it * unroll + u)
             return 0
 
-        jax.lax.fori_loop(0, n_groups, group, 0)
+        def group_1(gi, _):
+            group_body(gi)
+            return 0
+
+        n_iter = n_groups // unroll
+        jax.lax.fori_loop(0, n_iter, group_u, 0)
+        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -278,6 +307,7 @@ def _run_spmm(
         _spmm_fwd_kernel if with_argmax else _fwd_noarg_adapter,
         reduce=reduce, with_argmax=with_argmax, r=r,
         dummy=blocked.n_pad_nodes - 1,
+        unroll=1 if interpret else U,  # interpret-mode unroll is pure waste
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -290,9 +320,9 @@ def _run_spmm(
             pltpu.VMEM((r * 8, lane), jnp.int32)
             if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
             pltpu.VMEM((NG, G * 8, lane), jnp.float32),
-            pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NG, G)),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -312,52 +342,52 @@ def _run_spmm(
 
 def _masked_bwd_kernel(
     blk_ptr_ref,
-    dst_hbm, srcl_hbm, g_hbm, arg_hbm,
+    dst_hbm, srcl_hbm, ga_hbm,
     dx_ref,
-    acc, ring_g, ring_a, idx_dst, idx_srcl, sems_g, sems_a, idx_sems,
-    *, r: int, dummy: int,
+    acc, ring, idx_dst, idx_srcl, sems, idx_sems,
+    *, r: int, dummy: int, unroll: int = U,
 ):
     """dx[s] = sum_{edges s->n} where(argsrc[n] == s, g[n], 0), grouped over
-    the transpose blocked CSR (groups share the source row s)."""
+    the transpose blocked CSR (groups share the source row s).
+
+    ``ga_hbm`` interleaves gradient and bitcast-int32 argmax lanes per node
+    row (g ‖ arg), so each edge costs ONE DMA — the per-edge DMA issue rate
+    on the scalar core, not HBM bandwidth, binds here.  The dummy node's arg
+    row is -1 (it has no in-edges), so padded slots never hit."""
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
-    n_chunks = (e1 - e0) // T_E
-    n_groups = T_E // G
+    n_chunks = (e1 - e0 + T_E - 1) // T_E
     acc[...] = jnp.zeros(acc.shape, jnp.float32)
     base_node = i * r
+    lane = acc.shape[1]
 
-    def g_dma(slot, j, node):
+    def edge_dma(slot, j, node):
         return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
-            ring_g.at[slot, pl.ds(j * 8, 8)],
-            sems_g.at[slot, j])
-
-    def a_dma(slot, j, node):
-        return pltpu.make_async_copy(
-            arg_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
-            ring_a.at[slot, pl.ds(j * 8, 8)],
-            sems_a.at[slot, j])
-
-    def start_group(gi, slot):
-        for j in range(G):
-            n = idx_dst[gi * G + j]
-            g_dma(slot, j, n).start()
-            a_dma(slot, j, n).start()
-
-    def wait_group(gi, slot):
-        for j in range(G):
-            n = idx_dst[gi * G + j]
-            g_dma(slot, j, n).wait()
-            a_dma(slot, j, n).wait()
+            ga_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
+            ring.at[slot, pl.ds(j * 8, 8)],
+            sems.at[slot])
 
     def chunk_body(c, _):
         base = e0 + c * T_E
+        n_groups = jnp.minimum(e1 - base, T_E) // G
+        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
+        aligned = (base // T_E) * T_E
+        off = base - aligned
+
+        def start_group(gi, slot):
+            for j in range(G):
+                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
+
+        def wait_group(gi, slot):
+            pltpu.make_async_copy(
+                ga_hbm.at[pl.ds(0, G * 8)], ring.at[slot], sems.at[slot]
+            ).wait()
         cp_s = pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(pl.multiple_of(base, T_E), T_E)],
+            dst_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
             idx_dst, idx_sems.at[0])
         cp_d = pltpu.make_async_copy(
-            srcl_hbm.at[pl.ds(pl.multiple_of(base, T_E), T_E)],
+            srcl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
             idx_srcl, idx_sems.at[1])
         cp_s.start()
         cp_d.start()
@@ -368,18 +398,21 @@ def _masked_bwd_kernel(
             start_group(gi, gi % NG)
             return 0
 
-        jax.lax.fori_loop(0, NG, warm, 0)
+        jax.lax.fori_loop(0, jnp.minimum(NG, n_groups), warm, 0)
 
-        def group(gi, _):
+        def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            sl = idx_srcl[gi * G]
+            sl = idx_srcl[off + gi * G]
 
             @pl.when(sl < r)
             def _():
                 s_global = base_node + sl
                 # whole-slot hit test + log-depth tree sum
-                buf = jnp.where(ring_a[slot] == s_global, ring_g[slot], 0.0)
+                hit = pltpu.bitcast(
+                    ring[slot, :, pl.ds(lane, lane)], jnp.int32)
+                buf = jnp.where(
+                    hit == s_global, ring[slot, :, pl.ds(0, lane)], 0.0)
                 h = G * 8
                 while h > 8:
                     half = h // 2
@@ -391,9 +424,19 @@ def _masked_bwd_kernel(
             @pl.when(gi + NG < n_groups)
             def _():
                 start_group(gi + NG, slot)
+
+        def group_u(it, _):
+            for u in range(unroll):
+                group_body(it * unroll + u)
             return 0
 
-        jax.lax.fori_loop(0, n_groups, group, 0)
+        def group_1(gi, _):
+            group_body(gi)
+            return 0
+
+        n_iter = n_groups // unroll
+        jax.lax.fori_loop(0, n_iter, group_u, 0)
+        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -408,22 +451,37 @@ def _run_masked_bwd(
     stride = b * f_pad
     lane = stride // 8
     r = blocked_t.rows_per_block
+    # One fused (g ‖ arg) row per node: a single 2·lane-wide DMA per edge.
+    # The dummy node's arg row is forced to -1 so padded-slot fetches never
+    # pass the hit test regardless of the fwd's contents.
+    dummy = blocked_t.n_pad_nodes - 1
+    argsrc = jax.lax.dynamic_update_slice(
+        argsrc.reshape(n_pad * 8, lane),
+        jnp.full((8, lane), -1, jnp.int32),
+        (dummy * 8, 0),
+    )
+    ga = jnp.concatenate(
+        [
+            g.reshape(n_pad * 8, lane),
+            jax.lax.bitcast_convert_type(argsrc, jnp.float32),
+        ],
+        axis=1,
+    )
     kernel = functools.partial(
-        _masked_bwd_kernel, r=r, dummy=blocked_t.n_pad_nodes - 1)
+        _masked_bwd_kernel, r=r, dummy=dummy,
+        unroll=1 if interpret else U)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(blocked_t.n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r * 8, lane), jnp.float32),
-            pltpu.VMEM((NG, G * 8, lane), jnp.float32),
-            pltpu.VMEM((NG, G * 8, lane), jnp.int32),
-            pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SMEM((T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NG, G)),
-            pltpu.SemaphoreType.DMA((NG, G)),
+            pltpu.VMEM((NG, G * 8, 2 * lane), jnp.float32),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -434,8 +492,7 @@ def _run_masked_bwd(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    dx = fn(blocked_t.blk_ptr, blocked_t.src, blocked_t.dst_local,
-            g.reshape(n_pad * 8, lane), argsrc.reshape(n_pad * 8, lane))
+    dx = fn(blocked_t.blk_ptr, blocked_t.src, blocked_t.dst_local, ga)
     return dx.reshape(n_pad, b, f_pad)
 
 

@@ -52,6 +52,10 @@ def test_blocked_csr_roundtrip(setup):
                 got.add((int(src_p[e]), i * bc.rows_per_block + int(dstl_p[e])))
     assert got == set(zip(src.tolist(), dst.tolist()))
 
+    # block lists are G-aligned and the arrays carry a T_E overrun tail
+    assert np.all(np.diff(blk_ptr) % 8 == 0)
+    assert len(src_p) >= blk_ptr[-1] + 1024
+
 
 def test_pallas_max_forward(setup):
     pg, x, adj, _ = setup
