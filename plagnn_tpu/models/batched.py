@@ -12,6 +12,7 @@ ops, same reduction order per fold).
 """
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
@@ -22,11 +23,39 @@ from ..utils.precision import matmul_precision
 AggFn = Callable[[jax.Array], jax.Array]  # (N, B, F_pad) -> (N, B, F_pad)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _pad_features_to(x: jax.Array, f_pad: int) -> jax.Array:
     f = x.shape[-1]
     if f == f_pad:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, f_pad - f)))
+
+
+def _agg_packed(agg: AggFn, x: jax.Array) -> jax.Array:
+    """Aggregate (N, B, F) through ``agg`` at the smallest padded stride.
+
+    The kernels only require the per-node stride B·F_pad to be a multiple of
+    1024; they are layout-agnostic over the feature axis (per-position max).
+    Two packings satisfy that: per-fold padding (B, F→F') and flat packing
+    ((B·F,) → one pseudo-fold).  For B=10 folds, per-fold padding forces
+    F'=512, so the 400/300-dim hidden layers would move 28-71%% extra bytes
+    per edge; flat packing pads 4000→4096 and 3000→3072 instead.  Pick
+    whichever strides less.
+    """
+    n, b, f = x.shape
+    step = 1024 // math.gcd(b, 1024)
+    f_pf = _round_up(f, step)
+    flat_pad = _round_up(b * f, 1024)
+    if flat_pad < b * f_pf:
+        xf = x.reshape(n, b * f)
+        if flat_pad != b * f:
+            xf = jnp.pad(xf, ((0, 0), (0, flat_pad - b * f)))
+        out = agg(xf.reshape(n, 1, flat_pad))
+        return out.reshape(n, flat_pad)[:, : b * f].reshape(n, b, f)
+    return agg(_pad_features_to(x, f_pf))[..., :f]
 
 
 def _bmm(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -37,16 +66,15 @@ def _bmm(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
-def sage_conv_batched(params, agg: AggFn, x: jax.Array, f_agg_pad: int) -> jax.Array:
+def sage_conv_batched(params, agg: AggFn, x: jax.Array) -> jax.Array:
     """SAGE-pool over fold-batched features.
 
-    params leaves carry a leading fold axis; ``agg`` aggregates (N, B, F_pad)
-    fold-packed rows (padding columns carry garbage that is sliced away —
-    per-feature aggregation keeps real columns exact).
+    params leaves carry a leading fold axis; ``agg`` aggregates fold-packed
+    rows at the smallest legal stride (padding columns carry garbage that is
+    sliced away — per-feature aggregation keeps real columns exact).
     """
-    f_in = x.shape[-1]
     pooled = jax.nn.relu(_bmm(x, params["w_pool"]) + params["b_pool"][None])
-    m = agg(_pad_features_to(pooled, f_agg_pad))[..., :f_in]
+    m = _agg_packed(agg, pooled)
     return (
         _bmm(x, params["w_self"])
         + _bmm(m, params["w_neigh"])
@@ -54,7 +82,7 @@ def sage_conv_batched(params, agg: AggFn, x: jax.Array, f_agg_pad: int) -> jax.A
     )
 
 
-def gnn32_apply_batched(params, agg: AggFn, x: jax.Array, f_agg_pad: int = 512):
+def gnn32_apply_batched(params, agg: AggFn, x: jax.Array):
     """GNN32 forward with fold-batched params.
 
     x: (N, F_in) shared input features (identical across folds, as in the
@@ -64,11 +92,11 @@ def gnn32_apply_batched(params, agg: AggFn, x: jax.Array, f_agg_pad: int = 512):
     b = jax.tree.leaves(params)[0].shape[0]
     if x.ndim == 2:
         x = jnp.broadcast_to(x[:, None, :], (x.shape[0], b, x.shape[1]))
-    h = sage_conv_batched(params["conv1"], agg, x, f_agg_pad)
+    h = sage_conv_batched(params["conv1"], agg, x)
     h = jax.nn.leaky_relu(h)
-    h = sage_conv_batched(params["conv2"], agg, h, f_agg_pad)
+    h = sage_conv_batched(params["conv2"], agg, h)
     h = jax.nn.leaky_relu(h)
-    h = sage_conv_batched(params["conv3"], agg, h, f_agg_pad)
+    h = sage_conv_batched(params["conv3"], agg, h)
     h = jax.nn.leaky_relu(h)
     h = _bmm(h, params["liner1"]["weight"]) + params["liner1"]["bias"][None]
     h = jax.nn.leaky_relu(h)

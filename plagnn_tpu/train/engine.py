@@ -54,7 +54,6 @@ class TrainConfig:
     verbose: bool = True
     resume: bool = True           # skip rounds whose artifacts already exist
     spmm_impl: str = "xla"        # 'xla' (bucketed ELL) | 'pallas' (fold-batched kernels)
-    pallas_f_pad: int = 512       # aggregation feature pad for the pallas path
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
 
@@ -162,7 +161,7 @@ def make_batched_fold_runner(
             return pallas_spmm_max(pg, xp, interpret=cfg.pallas_interpret)
 
         def loss_fn(p):
-            probs_nbc = gnn32_apply_batched(p, agg, feats, cfg.pallas_f_pad)
+            probs_nbc = gnn32_apply_batched(p, agg, feats)
             probs = jnp.moveaxis(probs_nbc, 1, 0)  # (B, N, C)
             losses = jax.vmap(
                 lambda pr, m: multi_loss(pr, labels, m, w)
@@ -331,12 +330,7 @@ def train(
             for start in range(0, cfg.fold_num, cfg.fold_batch):
                 stop = min(start + cfg.fold_batch, cfg.fold_num)
                 nb = stop - start
-                # pallas path needs B*F_pad % 1024 == 0: pad the batch with a
-                # duplicate of the last fold and discard its results
-                nb_run = nb
-                if cfg.spmm_impl == "pallas":
-                    while (nb_run * cfg.pallas_f_pad) % 1024 != 0:
-                        nb_run += 1
+                nb_run = nb  # any batch size: _agg_packed picks a legal stride
                 key, sub = jax.random.split(key)
                 params = init_fold_params(sub, cfg, in_feats, nb_run)
                 opt_state = jax.vmap(tx.init)(params)

@@ -36,7 +36,7 @@ def test_batched_runner_matches_vmapped(rng):
     cfg = TrainConfig(
         lr=1e-3, fold_num=2, epoch_num=3, compute_auc=False, verbose=False,
         # tiny dims: hidden widths shrink; f_agg pad must satisfy B*F%1024
-        hidden=(13, 9, 7, 5), pallas_f_pad=512, pallas_interpret=True,
+        hidden=(13, 9, 7, 5), pallas_interpret=True,
     )
     w = weight_cal(loc)
     feats_p = jnp.asarray(pad_features(feats, graph.n_nodes))
