@@ -68,3 +68,37 @@ def test_batched_runner_matches_vmapped(rng):
     np.testing.assert_allclose(
         np.asarray(probs_p)[:, :N], np.asarray(probs_x)[:, :N],
         rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,f", [(10, 400), (10, 300), (10, 503), (2, 64), (3, 100)]
+)
+def test_agg_packed_minimal_stride(rng, b, f):
+    """_agg_packed must be exact under BOTH packings (flat fold x feature and
+    per-fold feature padding) for a layout-agnostic per-position agg."""
+    import math
+    from plagnn_tpu.models.batched import _agg_packed, _round_up
+
+    n = 16
+    x = jnp.asarray(rng.standard_normal((n, b, f)), jnp.float32)
+
+    perm = np.concatenate([[n - 1], np.arange(n - 1)])
+
+    def agg(xp):  # (N, B', F') -> per-position "aggregation": a row shuffle
+        assert (xp.shape[1] * xp.shape[2]) % 1024 == 0
+        return xp[perm]
+
+    out = _agg_packed(agg, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[perm]))
+
+    # the chosen stride is the minimum of the two legal packings
+    step = 1024 // math.gcd(b, 1024)
+    expect = min(b * _round_up(f, step), _round_up(b * f, 1024))
+    seen = []
+
+    def probe(xp):
+        seen.append(xp.shape[1] * xp.shape[2])
+        return xp
+
+    _agg_packed(probe, x)
+    assert seen == [expect]
