@@ -107,6 +107,35 @@ def test_pallas_max_grad(setup):
     np.testing.assert_allclose(gr, egr, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "b,f",
+    [
+        (2, 1024),  # lane 256: arg_lane 128 == hi_w (exact int16 pairing)
+        (3, 1024),  # lane 384: arg_lane 256 > hi_w 128 (0xFFFF sentinel pad)
+        (2, 512),   # lane 128: hi_w 0 (lo-only packing)
+    ],
+)
+def test_pallas_max_grad_packing_branches(setup, b, f):
+    """The packed-int16 argmax backward has three lane-split shapes; route a
+    gradient through each and check against the dense argmax oracle."""
+    pg, _, adj, _ = setup
+    rng = np.random.default_rng(7)
+    n_pad = pg.fwd.n_pad_nodes
+    x = jnp.asarray(rng.standard_normal((n_pad, b, f)).astype(np.float32))
+    gr = np.asarray(
+        jax.grad(lambda xx: jnp.sum(pallas_spmm_max(pg, xx, interpret=True) ** 2))(x)
+    )
+    xn = np.asarray(x)
+    egr = np.zeros_like(xn)
+    for d_, ss in adj.items():
+        mx = xn[ss].max(0)
+        best = np.asarray(ss)[np.argmax(xn[ss], axis=0)]
+        for bb in range(b):
+            for ff in range(f):
+                egr[best[bb, ff], bb, ff] += 2 * mx[bb, ff]
+    np.testing.assert_allclose(gr, egr, atol=1e-4)
+
+
 def test_pallas_matches_xla_path(setup):
     """Cross-check vs the bucketed-ELL XLA implementation."""
     pg, x, adj, (src, dst) = setup
