@@ -21,8 +21,10 @@ count, not just bytes:
   of each block is partial (loop bounds, no padded-slot DMAs);
 * each ring slot's G copies share ONE byte-counting semaphore and are
   retired by a single whole-slot wait;
-* the backward fuses gradient + bitcast argmax lanes per node row so each
-  transpose edge costs ONE DMA instead of two.
+* the backward fuses gradient + argmax lanes per node row so each transpose
+  edge costs ONE DMA instead of two, and packs the argmax ids as int16
+  pairs (node ids < 2^15), shrinking that DMA from 2.0x to 1.5-1.6x the
+  gradient width.
 
 Layout: x (N_pad, B, F_pad) f32 viewed as (N_pad*8, B*F_pad/8): a node row
 is an 8-sublane-aligned (8, lanes) slice (Mosaic's DMA alignment rule);
