@@ -29,7 +29,7 @@ from sklearn.decomposition import PCA
 
 from .biogrid import construct_normal_ppi
 from .ecc import edge_clustering_coefficients
-from .expression import align_expression, pcc_dense, pcc_factors
+from .expression import align_expression, pcc_at_edges, pcc_dense, pcc_factors
 from .topology import modify_network_topology
 from .uniprot import construct_loc_matrix
 
@@ -168,21 +168,34 @@ def preprocess(
         np.save(os.path.join(gm, "ECC_normal_pca"), pca(ecc, pca_components))
 
     ppi_csr = ppi_normal.tocsr()
+
+    def masked_gcn(inter_dir: str, cond: str, ppi_mask) -> np.ndarray:
+        """PPI-masked PCC for the PCA stage.  Uses the dense GCN artifact
+        when present; in lean mode (--no-dense-gcn) reconstructs it from the
+        expression factors at edge positions only — the PCA input is
+        ``gcn.multiply(ppi)`` (data_preprocess.py:535-540), E-sparse, so the
+        dense full-PCC artifact is never actually needed."""
+        npz = os.path.join(inter_dir, f"GCN_{cond}.npz")
+        if _exists(npz):
+            return sp.load_npz(npz).tocsr().multiply(ppi_mask).toarray()
+        z = pcc_factors(np.load(os.path.join(inter_dir, f"expr_{cond}.npy")))
+        coo = ppi_mask.tocoo()
+        vals = pcc_at_edges(z, coo.row, coo.col)
+        return sp.coo_matrix(
+            (vals, (coo.row, coo.col)), shape=ppi_mask.shape
+        ).toarray()
+
     for ds in datasets:
         inter_dir = os.path.join(gm, f"{ds.name}_data")
         if not _exists(os.path.join(inter_dir, "GCN_normal_pca.npy")):
             log(f"{ds.name}: PCA GCN normal ...")
-            gcn = sp.load_npz(os.path.join(inter_dir, "GCN_normal.npz")) \
-                .tocsr().multiply(ppi_csr).toarray()
             np.save(os.path.join(inter_dir, "GCN_normal_pca"),
-                    pca(gcn, pca_components))
+                    pca(masked_gcn(inter_dir, "normal", ppi_csr), pca_components))
         if not _exists(os.path.join(inter_dir, "GCN_inter_pca.npy")):
             log(f"{ds.name}: PCA GCN inter ...")
             ppi_i = sp.load_npz(os.path.join(inter_dir, "PPI_inter.npz")).tocsr()
-            gcn_i = sp.load_npz(os.path.join(inter_dir, "GCN_inter.npz")) \
-                .tocsr().multiply(ppi_i).toarray()
             np.save(os.path.join(inter_dir, "GCN_inter_pca"),
-                    pca(gcn_i, pca_components))
+                    pca(masked_gcn(inter_dir, "inter", ppi_i), pca_components))
         if not _exists(os.path.join(inter_dir, "ECC_inter_pca.npy")):
             log(f"{ds.name}: PCA ECC inter ...")
             ecc_i = sp.load_npz(os.path.join(inter_dir, "ECC_inter.npz")).toarray()

@@ -24,7 +24,9 @@ count, not just bytes:
 * the backward fuses gradient + argmax lanes per node row so each transpose
   edge costs ONE DMA instead of two, and packs the argmax ids as int16
   pairs (node ids < 2^15), shrinking that DMA from 2.0x to 1.5-1.6x the
-  gradient width.
+  gradient width for lane counts >= 256 (at the 128-lane minimum stride,
+  B*F_pad = 1024, ``arg_lane`` is clamped to the 128-lane tile and the DMA
+  stays 2.0x — no shrink).
 
 Layout: x (N_pad, B, F_pad) f32 viewed as (N_pad*8, B*F_pad/8): a node row
 is an 8-sublane-aligned (8, lanes) slice (Mosaic's DMA alignment rule);
@@ -65,6 +67,30 @@ _NEG = float(-jnp.inf)
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pick_rows_per_block(
+    n_pad_nodes: int, stride: int, budget_bytes: int = 12 << 20
+) -> int:
+    """Largest rows-per-block <= DEFAULT_R that divides ``n_pad_nodes`` and
+    keeps the argmax variant's VMEM footprint under ``budget_bytes``.
+
+    Never returns more than DEFAULT_R: R=128 at B*F >= 4096 overflows VMEM
+    (~17 MB: acc + argacc + double-buffered out/arg blocks) and crashes the
+    Mosaic compiler — a measured dead end (BASELINE.md).  The footprint
+    estimate is r*stride*4 bytes for each of {acc, argacc, 2x out, 2x arg
+    out} plus the NG*G-row DMA ring.
+    """
+    ring = NG * G * stride * 4
+    r = DEFAULT_R
+    while r > 8 and (n_pad_nodes % r or r * stride * 4 * 6 + ring > budget_bytes):
+        r //= 2
+    if n_pad_nodes % r:
+        raise ValueError(
+            f"n_pad_nodes={n_pad_nodes} is not a multiple of {r}; pad the "
+            "node count to a multiple of 8"
+        )
+    return r
 
 
 @functools.partial(
@@ -469,10 +495,14 @@ def _run_masked_bwd(
     stride = b * f_pad
     lane = stride // 8
     r = blocked_t.rows_per_block
-    assert blocked_t.n_pad_nodes <= 1 << 15, (
-        "packed-argmax backward stores node ids as int16 halves; shard the "
-        "graph (parallel.partition) before exceeding 32768 padded nodes"
-    )
+    if blocked_t.n_pad_nodes > 1 << 15:
+        # A plain assert would vanish under `python -O` and let ids >= 2^15
+        # alias in the 16-bit halves, silently corrupting gradients.
+        raise ValueError(
+            "packed-argmax backward stores node ids as int16 halves "
+            f"(n_pad_nodes={blocked_t.n_pad_nodes} > 32768); shard the graph "
+            "(parallel.partition) before exceeding 32768 padded nodes"
+        )
     # One fused (g ‖ packed-arg) row per node.  Argmax lanes k and
     # ``arg_lane + k`` pack into one int32 lane (node ids < 2^15); unused hi
     # halves carry the 0xFFFF sentinel.  The dummy node's arg row is forced

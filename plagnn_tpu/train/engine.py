@@ -293,10 +293,16 @@ def train(
     if cfg.spmm_impl == "pallas":
         from ..ops.pallas.spmm_kernels import build_pallas_graph
 
+        from ..ops.pallas.spmm_kernels import pick_rows_per_block
+
         e = graph.n_edges
         src_np = np.asarray(graph.src)[:e]
         dst_np = np.asarray(graph.dst)[:e]
-        rpb = 128 if graph.n_nodes % 128 == 0 else 8
+        # VMEM-aware block size at the true fold-packed stride (the batched
+        # model packs B folds x F_pad features per node row; F caps at 512
+        # for the 503-dim input layer).
+        stride = cfg.fold_batch * 512
+        rpb = pick_rows_per_block(graph.n_nodes, stride)
         pallas_graph = build_pallas_graph(src_np, dst_np, graph.n_nodes, rpb)
         run, tx = make_batched_fold_runner(
             graph, pallas_graph, feats, labels, class_weight, node_valid, cfg)

@@ -136,6 +136,37 @@ def test_pallas_max_grad_packing_branches(setup, b, f):
     np.testing.assert_allclose(gr, egr, atol=1e-4)
 
 
+def test_pick_rows_per_block():
+    from plagnn_tpu.ops.pallas.spmm_kernels import (
+        DEFAULT_R, pick_rows_per_block,
+    )
+
+    # PPI scale (24,064 padded nodes, B=10 x F_pad=512): must pick the
+    # VMEM-safe DEFAULT_R, never the measured-crash R=128.
+    assert pick_rows_per_block(24064, 10 * 512) == DEFAULT_R
+    assert pick_rows_per_block(24064, 10 * 512) <= DEFAULT_R
+    # huge stride: halve until the footprint fits
+    assert pick_rows_per_block(24064, 32 * 1024) < DEFAULT_R
+    # divisibility fallback: 24040 % 64 != 0 but % 8 == 0
+    assert 24040 % pick_rows_per_block(24040, 1024) == 0
+    with pytest.raises(ValueError):
+        pick_rows_per_block(24041, 1024)  # not even 8-aligned
+
+
+def test_packed_bwd_node_ceiling_raises():
+    """The int16-packed backward must refuse >2^15 padded nodes with a real
+    exception (a bare assert would vanish under python -O)."""
+    from plagnn_tpu.ops.pallas.spmm_kernels import _run_masked_bwd
+
+    big = build_blocked_csr(
+        np.array([0, 1]), np.array([1, 2]), (1 << 15) + 64, rows_per_block=8
+    )
+    g = jnp.zeros((big.n_pad_nodes, 1, 128), jnp.float32)
+    arg = jnp.zeros((big.n_pad_nodes, 1, 128), jnp.int32)
+    with pytest.raises(ValueError, match="int16"):
+        _run_masked_bwd(big, g, arg, interpret=True)
+
+
 def test_pallas_matches_xla_path(setup):
     """Cross-check vs the bucketed-ELL XLA implementation."""
     pg, x, adj, (src, dst) = setup

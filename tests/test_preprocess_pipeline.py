@@ -109,3 +109,41 @@ def test_full_preprocess_and_load(tmp_path, rng):
         assert n == ppi.shape[0]
         # feature width: 3 expr samples + 5 gcn_pca + 5 ecc_pca = 13
         assert bundle.feats.shape[1] == 13
+
+
+def test_lean_preprocess_matches_dense(tmp_path, rng):
+    """--no-dense-gcn must run the FULL pipeline (the round-1 lean mode
+    crashed at the PCA stage) and produce the same PCA features as the dense
+    mode: the PCA input is gcn.multiply(ppi), which the lean path rebuilds
+    from expression factors at edge positions."""
+    dense_root = str(tmp_path / "dense")
+    lean_root = str(tmp_path / "lean")
+    os.makedirs(dense_root)
+    os.makedirs(lean_root)
+    _make_raw_inputs(dense_root, np.random.default_rng(11))
+    _make_raw_inputs(lean_root, np.random.default_rng(11))
+    datasets = (DatasetConfig(
+        "GSE30931", "support_materials/GSE30931_exprSet.csv",
+        ("GSM766676", "GSM766677", "GSM766678"),
+        ("GSM766682", "GSM766683", "GSM766684"), 1.5,
+    ),)
+    preprocess(dense_root, datasets, pca_components=5, verbose=False)
+    preprocess(lean_root, datasets, pca_components=5, verbose=False,
+               dense_gcn_artifacts=False)
+
+    lean_ds = os.path.join(lean_root, "generate_materials", "GSE30931_data")
+    dense_ds = os.path.join(dense_root, "generate_materials", "GSE30931_data")
+    # lean mode must NOT write the dense PCC artifacts ...
+    assert not os.path.exists(os.path.join(lean_ds, "GCN_normal.npz"))
+    assert not os.path.exists(os.path.join(lean_ds, "GCN_inter.npz"))
+    # ... but every downstream artifact matches the dense pipeline
+    for name in ("GCN_normal_pca.npy", "GCN_inter_pca.npy", "ECC_inter_pca.npy"):
+        np.testing.assert_allclose(
+            np.load(os.path.join(lean_ds, name)),
+            np.load(os.path.join(dense_ds, name)),
+            atol=1e-8, err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        sp.load_npz(os.path.join(lean_ds, "PPI_inter.npz")).toarray(),
+        sp.load_npz(os.path.join(dense_ds, "PPI_inter.npz")).toarray(),
+    )
