@@ -50,6 +50,9 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--spmm", default="xla", choices=["xla", "pallas"],
                    help="aggregation impl: XLA bucketed ELL, or the "
                         "fold-batched Pallas kernels (TPU)")
+    p.add_argument("--pallas-interpret", action="store_true",
+                   help="run the pallas kernels in interpret mode (CPU "
+                        "verification of the --spmm pallas path)")
 
 
 def _train(args, condition: str):
@@ -89,6 +92,7 @@ def _train(args, condition: str):
         fold_batch=args.fold_batch,
         compute_auc=not args.no_auc,
         spmm_impl=args.spmm,
+        pallas_interpret=args.pallas_interpret,
     )
     train(
         bundle.graph,

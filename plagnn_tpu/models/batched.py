@@ -34,21 +34,33 @@ def _pad_features_to(x: jax.Array, f_pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, 0), (0, f_pad - f)))
 
 
+def packed_stride(b: int, f: int, align: int = 1024) -> int:
+    """Per-node stride ``_agg_packed`` will use for a (·, b, f) input at the
+    given alignment (1024 for f32 kernels, 2048 for bf16 messages)."""
+    step = align // math.gcd(b, align)
+    f_pf = _round_up(f, step)
+    flat_pad = _round_up(b * f, align)
+    return min(flat_pad, b * f_pf)
+
+
 def _agg_packed(agg: AggFn, x: jax.Array) -> jax.Array:
     """Aggregate (N, B, F) through ``agg`` at the smallest padded stride.
 
-    The kernels only require the per-node stride B·F_pad to be a multiple of
-    1024; they are layout-agnostic over the feature axis (per-position max).
-    Two packings satisfy that: per-fold padding (B, F→F') and flat packing
-    ((B·F,) → one pseudo-fold).  For B=10 folds, per-fold padding forces
-    F'=512, so the 400/300-dim hidden layers would move 28-71%% extra bytes
-    per edge; flat packing pads 4000→4096 and 3000→3072 instead.  Pick
-    whichever strides less.
+    The kernels require the per-node stride B·F_pad to be a multiple of the
+    Mosaic row tile — 1024 elements for f32 messages, 2048 for bf16 (an agg
+    fn carrying bf16 messages advertises ``agg.align = 2048``); they are
+    layout-agnostic over the feature axis (per-position max).  Two packings
+    satisfy that: per-fold padding (B, F→F') and flat packing ((B·F,) → one
+    pseudo-fold).  For B=10 folds, per-fold padding forces F'=512, so the
+    400/300-dim hidden layers would move 28-71%% extra bytes per edge; flat
+    packing pads 4000→4096 and 3000→3072 instead.  Pick whichever strides
+    less.
     """
+    align = getattr(agg, "align", 1024)
     n, b, f = x.shape
-    step = 1024 // math.gcd(b, 1024)
+    step = align // math.gcd(b, align)
     f_pf = _round_up(f, step)
-    flat_pad = _round_up(b * f, 1024)
+    flat_pad = _round_up(b * f, align)
     if flat_pad < b * f_pf:
         xf = x.reshape(n, b * f)
         if flat_pad != b * f:

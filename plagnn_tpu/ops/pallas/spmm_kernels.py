@@ -28,9 +28,17 @@ count, not just bytes:
   B*F_pad = 1024, ``arg_lane`` is clamped to the 128-lane tile and the DMA
   stays 2.0x — no shrink).
 
-Layout: x (N_pad, B, F_pad) f32 viewed as (N_pad*8, B*F_pad/8): a node row
-is an 8-sublane-aligned (8, lanes) slice (Mosaic's DMA alignment rule);
-B*F_pad must be a multiple of 1024.
+Layout: x (N_pad, B, F_pad) viewed as (N_pad*sub, B*F_pad/sub): a node row
+is a sub-sublane-aligned (sub, lanes) slice (Mosaic's DMA alignment rule),
+where sub = 8 for f32 (tile (8, 128); B*F_pad % 1024 == 0) and sub = 16 for
+bf16 (tile (16, 128); B*F_pad % 2048 == 0).
+
+bf16 message mode (opt-in via --agg-dtype bfloat16) halves every edge DMA:
+max is order-preserving in bf16 so the forward is exact over the rounded
+inputs; the backward fuses the bf16 gradient with int16 argmax lanes at
+EQUAL width (4 B per element vs the packed-f32 path's 5.6 B), hit-tests in
+the int16 domain, and tree-sums hits with an f32 upcast before the f32
+accumulator (dx is returned in bf16, the input dtype).
 
 Semantics match DGL 0.8.x gspmm (SURVEY.md 2.2): max reduce with 0 for
 empty rows; argmax records the FIRST maximum in (dst, src) sorted order
@@ -168,23 +176,24 @@ def _spmm_fwd_kernel(
     src_hbm, dstl_hbm, x_hbm,
     out_ref, arg_ref,
     acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems,
-    *, reduce: str, with_argmax: bool, r: int, dummy: int, unroll: int = U,
+    *, reduce: str, with_argmax: bool, r: int, dummy: int, sub: int = 8,
+    unroll: int = U,
 ):
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
     ident = _NEG if reduce == "max" else 0.0
-    acc[...] = jnp.full(acc.shape, ident, jnp.float32)
+    acc[...] = jnp.full(acc.shape, ident, acc.dtype)
     if with_argmax:
         argacc[...] = jnp.full(argacc.shape, -1, jnp.int32)
 
     def edge_dma(slot, j, node):
-        # ring slot holds G node-rows of 8 sublanes each; all G copies of a
-        # slot share one byte-counting semaphore.
+        # ring slot holds G node-rows of ``sub`` sublanes each; all G copies
+        # of a slot share one byte-counting semaphore.
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
-            ring.at[slot, pl.ds(j * 8, 8)],
+            x_hbm.at[pl.ds(pl.multiple_of(node * sub, sub), sub)],
+            ring.at[slot, pl.ds(j * sub, sub)],
             sems.at[slot],
         )
 
@@ -203,7 +212,7 @@ def _spmm_fwd_kernel(
         def wait_group(gi, slot):
             # one wait retires the slot's G copies (byte-counting semaphore)
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, G * 8)], ring.at[slot], sems.at[slot]
+                x_hbm.at[pl.ds(0, G * sub)], ring.at[slot], sems.at[slot]
             ).wait()
         cp_s = pltpu.make_async_copy(
             src_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
@@ -233,9 +242,11 @@ def _spmm_fwd_kernel(
                 # pre-fills with the reduction identity (see _run_spmm), so
                 # no per-row masking is needed: reduce the whole slot with a
                 # log-depth static tree.
-                buf = ring[slot]  # (G*8, lane)
-                h = G * 8
-                while h > 8:
+                buf = ring[slot]  # (G*sub, lane)
+                if reduce == "sum" and buf.dtype != acc.dtype:
+                    buf = buf.astype(acc.dtype)  # bf16 messages, f32 acc
+                h = G * sub
+                while h > sub:
                     half = h // 2
                     top = buf[half:h, :]
                     if reduce == "max":
@@ -243,23 +254,23 @@ def _spmm_fwd_kernel(
                     else:
                         buf = buf[:half, :] + top
                     h = half
-                m = buf  # (8, lane)
-                d8 = pl.multiple_of(d * 8, 8)
-                cur = acc[pl.ds(d8, 8), :]
+                m = buf  # (sub, lane)
+                d8 = pl.multiple_of(d * sub, sub)
+                cur = acc[pl.ds(d8, sub), :]
                 if reduce == "max":
                     if with_argmax:
                         # first-in-group on ties: descending overwrite
                         ag = jnp.full(m.shape, -1, jnp.int32)
                         for j in range(G - 1, -1, -1):
                             ag = jnp.where(
-                                ring[slot, pl.ds(j * 8, 8), :] == m,
+                                ring[slot, pl.ds(j * sub, sub), :] == m,
                                 idx_src[off + gi * G + j], ag)
                         upd = m > cur
-                        cur_arg = argacc[pl.ds(d8, 8), :]
-                        argacc[pl.ds(d8, 8), :] = jnp.where(upd, ag, cur_arg)
-                    acc[pl.ds(d8, 8), :] = jnp.maximum(cur, m)
+                        cur_arg = argacc[pl.ds(d8, sub), :]
+                        argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
+                    acc[pl.ds(d8, sub), :] = jnp.maximum(cur, m)
                 else:
-                    acc[pl.ds(d8, 8), :] = cur + m
+                    acc[pl.ds(d8, sub), :] = cur + m
 
             @pl.when(gi + NG < n_groups)
             def _():
@@ -284,9 +295,10 @@ def _spmm_fwd_kernel(
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
     if reduce == "max":
-        out_ref[...] = jnp.where(jnp.isfinite(acc[...]), acc[...], 0.0)
+        a = acc[...]
+        out_ref[...] = jnp.where(jnp.isfinite(a), a, jnp.zeros_like(a))
     else:
-        out_ref[...] = acc[...]
+        out_ref[...] = acc[...].astype(out_ref.dtype)
     if with_argmax:
         arg_ref[...] = argacc[...]
 
@@ -307,34 +319,40 @@ def _run_spmm(
 ):
     n_pad, b, f_pad = x.shape
     stride = b * f_pad
-    assert stride % 1024 == 0, (
-        f"fold-batch x features ({b}x{f_pad}) must be a multiple of 1024"
+    dt = x.dtype
+    sub = 16 if dt == jnp.bfloat16 else 8  # Mosaic tile sublanes per row
+    assert stride % (128 * sub) == 0, (
+        f"fold-batch x features ({b}x{f_pad}) must be a multiple of "
+        f"{128 * sub} for dtype {dt}"
     )
-    lane = stride // 8
+    lane = stride // sub
     r = blocked.rows_per_block
-    x_flat = x.reshape(n_pad * 8, lane)
+    # sum in bf16 would accumulate rounding per edge; keep an f32 accumulator
+    # and round once at the output (max is exact in any dtype).
+    acc_dt = jnp.float32 if reduce == "sum" else dt
+    x_flat = x.reshape(n_pad * sub, lane)
     # Identity-fill the dummy node's rows: padded edge slots point at it, so
     # their DMA'd rows vanish in the reduction without any masking.
     dummy = blocked.n_pad_nodes - 1
     ident = _NEG if reduce == "max" else 0.0
     x_flat = jax.lax.dynamic_update_slice(
         x_flat,
-        jnp.full((8, lane), ident, jnp.float32),
-        (dummy * 8, 0),
+        jnp.full((sub, lane), ident, dt),
+        (dummy * sub, 0),
     )
 
-    out_shapes = [jax.ShapeDtypeStruct((n_pad * 8, lane), jnp.float32)]
-    out_specs = [pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
+    out_shapes = [jax.ShapeDtypeStruct((n_pad * sub, lane), dt)]
+    out_specs = [pl.BlockSpec((r * sub, lane), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM)]
     if with_argmax:
-        out_shapes.append(jax.ShapeDtypeStruct((n_pad * 8, lane), jnp.int32))
-        out_specs.append(pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
+        out_shapes.append(jax.ShapeDtypeStruct((n_pad * sub, lane), jnp.int32))
+        out_specs.append(pl.BlockSpec((r * sub, lane), lambda i, *_: (i, 0),
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
         _spmm_fwd_kernel if with_argmax else _fwd_noarg_adapter,
         reduce=reduce, with_argmax=with_argmax, r=r,
-        dummy=blocked.n_pad_nodes - 1,
+        dummy=blocked.n_pad_nodes - 1, sub=sub,
         unroll=1 if interpret else U,  # interpret-mode unroll is pure waste
     )
 
@@ -344,10 +362,10 @@ def _run_spmm(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs) if with_argmax else out_specs[0],
         scratch_shapes=[
-            pltpu.VMEM((r * 8, lane), jnp.float32),
-            pltpu.VMEM((r * 8, lane), jnp.int32)
+            pltpu.VMEM((r * sub, lane), acc_dt),
+            pltpu.VMEM((r * sub, lane), jnp.int32)
             if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((NG, G * 8, lane), jnp.float32),
+            pltpu.VMEM((NG, G * sub, lane), dt),
             pltpu.SMEM((2 * T_E,), jnp.int32),
             pltpu.SMEM((2 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
@@ -487,10 +505,174 @@ def _masked_bwd_kernel(
     dx_ref[...] = acc[...]
 
 
+def _masked_bwd16_kernel(
+    blk_ptr_ref,
+    dst_hbm, srcl_hbm, ga_hbm,
+    dx_ref,
+    acc, ring, idx_dst, idx_srcl, sems, idx_sems,
+    *, r: int, dummy: int, unroll: int = U,
+):
+    """bf16 variant of the masked backward: each node row interleaves the
+    bf16 gradient lanes with int16 argmax lanes of EQUAL width (bitcast into
+    the same bf16 array), so one edge DMA costs 4 B/element vs the f32
+    path's 5.6 B.  The hit test compares int16 ids directly; hits upcast to
+    f32 before the log-depth tree sum and the f32 accumulator; dx_ref is
+    bf16 (the input dtype).  Node ids must fit int16 (< 2^15, guarded by
+    the caller); the dummy node's arg row is -1 so padded slots never hit."""
+    i = pl.program_id(0)
+    e0 = blk_ptr_ref[i]
+    e1 = blk_ptr_ref[i + 1]
+    n_chunks = (e1 - e0 + T_E - 1) // T_E
+    acc[...] = jnp.zeros(acc.shape, jnp.float32)
+    base_node = i * r
+    lane = acc.shape[1]
+    sub = 16
+
+    def edge_dma(slot, j, node):
+        return pltpu.make_async_copy(
+            ga_hbm.at[pl.ds(pl.multiple_of(node * sub, sub), sub)],
+            ring.at[slot, pl.ds(j * sub, sub)],
+            sems.at[slot])
+
+    def chunk_body(c, _):
+        base = e0 + c * T_E
+        n_groups = jnp.minimum(e1 - base, T_E) // G
+        aligned = (base // T_E) * T_E
+        off = base - aligned
+
+        def start_group(gi, slot):
+            for j in range(G):
+                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
+
+        def wait_group(gi, slot):
+            pltpu.make_async_copy(
+                ga_hbm.at[pl.ds(0, G * sub)], ring.at[slot], sems.at[slot]
+            ).wait()
+        cp_s = pltpu.make_async_copy(
+            dst_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
+            idx_dst, idx_sems.at[0])
+        cp_d = pltpu.make_async_copy(
+            srcl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
+            idx_srcl, idx_sems.at[1])
+        cp_s.start()
+        cp_d.start()
+        cp_s.wait()
+        cp_d.wait()
+
+        def warm(gi, _):
+            start_group(gi, gi % NG)
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(NG, n_groups), warm, 0)
+
+        def group_body(gi):
+            slot = gi % NG
+            wait_group(gi, slot)
+            sl = idx_srcl[off + gi * G]
+
+            @pl.when(sl < r)
+            def _():
+                s16 = (base_node + sl).astype(jnp.int16)
+                pk = pltpu.bitcast(
+                    ring[slot, :, pl.ds(lane, lane)], jnp.int16)
+                buf = jnp.where(
+                    pk == s16, ring[slot, :, pl.ds(0, lane)],
+                    jnp.zeros((), ring.dtype),
+                ).astype(jnp.float32)
+                h = G * sub
+                while h > sub:
+                    half = h // 2
+                    buf = buf[:half, :] + buf[half:h, :]
+                    h = half
+                sl16 = pl.multiple_of(sl * sub, sub)
+                acc[pl.ds(sl16, sub), :] = acc[pl.ds(sl16, sub), :] + buf
+
+            @pl.when(gi + NG < n_groups)
+            def _():
+                start_group(gi + NG, slot)
+
+        def group_u(it, _):
+            for u in range(unroll):
+                group_body(it * unroll + u)
+            return 0
+
+        def group_1(gi, _):
+            group_body(gi)
+            return 0
+
+        n_iter = n_groups // unroll
+        jax.lax.fori_loop(0, n_iter, group_u, 0)
+        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    dx_ref[...] = acc[...].astype(dx_ref.dtype)
+
+
+def _run_masked_bwd16(
+    blocked_t: BlockedCsr, g: jax.Array, argsrc: jax.Array,
+    interpret: bool = False,
+):
+    """bf16 gradient routing: ga rows fuse bf16 grad + int16 arg lanes."""
+    n_pad, b, f_pad = g.shape
+    stride = b * f_pad
+    lane = stride // 16
+    r = blocked_t.rows_per_block
+    if blocked_t.n_pad_nodes > 1 << 15:
+        raise ValueError(
+            "bf16 backward stores node ids as int16 "
+            f"(n_pad_nodes={blocked_t.n_pad_nodes} > 32768); shard the graph "
+            "(parallel.partition) before exceeding 32768 padded nodes"
+        )
+    dummy = blocked_t.n_pad_nodes - 1
+    argsrc = jax.lax.dynamic_update_slice(
+        argsrc.reshape(n_pad * 16, lane),
+        jnp.full((16, lane), -1, jnp.int32),
+        (dummy * 16, 0),
+    )
+    ga = jnp.concatenate(
+        [
+            g.reshape(n_pad * 16, lane),
+            jax.lax.bitcast_convert_type(
+                argsrc.astype(jnp.int16), jnp.bfloat16),
+        ],
+        axis=1,
+    )
+    kernel = functools.partial(
+        _masked_bwd16_kernel, r=r, dummy=dummy,
+        unroll=1 if interpret else U)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blocked_t.n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((r * 16, lane), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((r * 16, lane), jnp.float32),
+            pltpu.VMEM((NG, G * 16, 2 * lane), jnp.bfloat16),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NG,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad * 16, lane), jnp.bfloat16),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    dx = fn(blocked_t.blk_ptr, blocked_t.src, blocked_t.dst_local, ga)
+    return dx.reshape(n_pad, b, f_pad)
+
+
 def _run_masked_bwd(
     blocked_t: BlockedCsr, g: jax.Array, argsrc: jax.Array,
     interpret: bool = False,
 ):
+    if g.dtype == jnp.bfloat16:
+        return _run_masked_bwd16(blocked_t, g, argsrc, interpret=interpret)
     n_pad, b, f_pad = g.shape
     stride = b * f_pad
     lane = stride // 8

@@ -149,16 +149,27 @@ def make_batched_fold_runner(
     make_fold_runner."""
     from ..models.batched import gnn32_apply_batched
     from ..ops.pallas.spmm_kernels import pallas_spmm_max
+    from ..utils.precision import aggregation_dtype
 
     assert cfg.model == "gnn32", "pallas path currently implements gnn32"
     tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
     w = jnp.asarray(class_weight, jnp.float32)
+    # bf16 message mode (--agg-dtype bfloat16): cast messages to bf16 before
+    # the kernels (halving every edge DMA; max is exact over the rounded
+    # values) and back to f32 after.  bf16 rows are (16, stride/16) Mosaic
+    # tiles, so the packing must align strides to 2048 instead of 1024.
+    agg_dt = aggregation_dtype()
 
     def epoch_step(pg, feats, labels, carry, _):
         params, opt_state, tr_masks, va_masks, alpha = carry  # masks (B, N)
 
         def agg(xp):
-            return pallas_spmm_max(pg, xp, interpret=cfg.pallas_interpret)
+            if agg_dt is not None:
+                xp = xp.astype(agg_dt)
+            out = pallas_spmm_max(pg, xp, interpret=cfg.pallas_interpret)
+            return out.astype(jnp.float32)
+
+        agg.align = 2048 if agg_dt == jnp.bfloat16 else 1024
 
         def loss_fn(p):
             probs_nbc = gnn32_apply_batched(p, agg, feats)
@@ -291,17 +302,23 @@ def train(
     labels = jnp.asarray(labels)
 
     if cfg.spmm_impl == "pallas":
+        from ..models.batched import packed_stride
         from ..ops.pallas.spmm_kernels import build_pallas_graph
-
         from ..ops.pallas.spmm_kernels import pick_rows_per_block
+        from ..utils.precision import aggregation_dtype
 
         e = graph.n_edges
         src_np = np.asarray(graph.src)[:e]
         dst_np = np.asarray(graph.dst)[:e]
-        # VMEM-aware block size at the true fold-packed stride (the batched
-        # model packs B folds x F_pad features per node row; F caps at 512
-        # for the 503-dim input layer).
-        stride = cfg.fold_batch * 512
+        # VMEM-aware block size at the true fold-packed stride: aggregation
+        # runs on the pooled features, whose widths are the conv in-dims
+        # (in_feats, h1, h2); take the worst packed stride at the mode's
+        # alignment (1024 f32, 2048 bf16 messages).
+        align = 2048 if aggregation_dtype() is not None else 1024
+        stride = max(
+            packed_stride(cfg.fold_batch, f, align)
+            for f in (in_feats, cfg.hidden[0], cfg.hidden[1])
+        )
         rpb = pick_rows_per_block(graph.n_nodes, stride)
         pallas_graph = build_pallas_graph(src_np, dst_np, graph.n_nodes, rpb)
         run, tx = make_batched_fold_runner(

@@ -136,6 +136,93 @@ def test_pallas_max_grad_packing_branches(setup, b, f):
     np.testing.assert_allclose(gr, egr, atol=1e-4)
 
 
+def _bf16_representable(rng, shape):
+    """Values distinct after bf16 rounding, exactly representable in bf16."""
+    n = int(np.prod(shape))
+    vals = rng.permutation(n).astype(np.float32)
+    return np.asarray(
+        jnp.asarray(vals.reshape(shape)).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+
+
+@pytest.mark.parametrize("b,f", [(4, 512), (2, 1024), (4, 1024)])
+def test_pallas_bf16_max_forward(setup, b, f):
+    """bf16 message mode: max is exact over the rounded inputs."""
+    pg, _, adj, _ = setup
+    rng = np.random.default_rng(11)
+    n_pad = pg.fwd.n_pad_nodes
+    xr = _bf16_representable(rng, (n_pad, b, f))
+    out = pallas_spmm_max(pg, jnp.asarray(xr).astype(jnp.bfloat16),
+                          interpret=True)
+    assert out.dtype == jnp.bfloat16
+    o32 = np.asarray(out.astype(jnp.float32))
+    ref = np.zeros_like(xr)
+    for d_, ss in adj.items():
+        ref[d_] = xr[ss].max(0)
+    np.testing.assert_array_equal(o32, ref)
+
+
+def test_pallas_bf16_grad_matches_f32_routing(setup):
+    """The bf16 backward (fused bf16 grad + int16 arg lanes) routes the same
+    gradients as the f32 path when inputs/cotangents are bf16-representable."""
+    pg, _, adj, _ = setup
+    rng = np.random.default_rng(13)
+    n_pad, b, f = pg.fwd.n_pad_nodes, 4, 512
+    xr = jnp.asarray(_bf16_representable(rng, (n_pad, b, f)))
+    w = jnp.asarray(rng.integers(1, 9, (n_pad, b, f)).astype(np.float32))
+
+    def loss_bf(x):
+        y = pallas_spmm_max(pg, x.astype(jnp.bfloat16), interpret=True)
+        return jnp.sum(y.astype(jnp.float32) * w)
+
+    def loss_f32(x):
+        return jnp.sum(pallas_spmm_max(pg, x, interpret=True) * w)
+
+    g_bf = np.asarray(jax.grad(loss_bf)(xr))
+    g_32 = np.asarray(jax.grad(loss_f32)(xr))
+    np.testing.assert_array_equal(g_bf, g_32)
+
+
+def test_pallas_bf16_sum_f32_accumulate(setup):
+    """bf16 sum keeps an f32 accumulator: error is one output rounding, not
+    per-edge accumulation drift."""
+    pg, _, adj, _ = setup
+    rng = np.random.default_rng(17)
+    n_pad, b, f = pg.fwd.n_pad_nodes, 4, 512
+    xr = _bf16_representable(rng, (n_pad, b, f)) / 1024.0
+    out = pallas_spmm_sum(pg, jnp.asarray(xr).astype(jnp.bfloat16),
+                          interpret=True)
+    ref = np.zeros_like(xr)
+    for d_, ss in adj.items():
+        ref[d_] = xr[ss].sum(0)
+    ref_b = np.asarray(jnp.asarray(ref).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(
+        np.asarray(out.astype(jnp.float32)), ref_b)
+
+
+def test_pallas_bf16_stride_guard(setup):
+    """bf16 rows are (16, stride/16) tiles: stride % 2048 is enforced."""
+    pg, _, _, _ = setup
+    x = jnp.zeros((pg.fwd.n_pad_nodes, 2, 512), jnp.bfloat16)  # stride 1024
+    with pytest.raises(AssertionError, match="2048"):
+        pallas_spmm_max(pg, x, interpret=True)
+
+
+def test_packed_stride_alignment():
+    from plagnn_tpu.models.batched import packed_stride
+
+    # f32: B=10 folds flat-pack 5030->5120, 4000->4096, 3000->3072
+    assert packed_stride(10, 503, 1024) == 5120
+    assert packed_stride(10, 400, 1024) == 4096
+    assert packed_stride(10, 300, 1024) == 3072
+    # bf16: 2048 alignment -> 6144 / 4096 / 4096
+    assert packed_stride(10, 503, 2048) == 6144
+    assert packed_stride(10, 400, 2048) == 4096
+    assert packed_stride(10, 300, 2048) == 4096
+    for b, f, a in [(10, 503, 2048), (8, 512, 2048), (7, 300, 1024)]:
+        assert packed_stride(b, f, a) % a == 0
+
+
 def test_pick_rows_per_block():
     from plagnn_tpu.ops.pallas.spmm_kernels import (
         DEFAULT_R, pick_rows_per_block,
