@@ -259,13 +259,19 @@ def _spmm_fwd_kernel(
                 cur = acc[pl.ds(d8, sub), :]
                 if reduce == "max":
                     if with_argmax:
+                        # Compares run in f32 (identity casts on the f32
+                        # path): Mosaic's v5e cmpf/cmpi have no 16-bit
+                        # lowering, and bf16→f32 upcast-compare is exact.
+                        m32 = m.astype(jnp.float32)
                         # first-in-group on ties: descending overwrite
                         ag = jnp.full(m.shape, -1, jnp.int32)
                         for j in range(G - 1, -1, -1):
-                            ag = jnp.where(
-                                ring[slot, pl.ds(j * sub, sub), :] == m,
-                                idx_src[off + gi * G + j], ag)
-                        upd = m > cur
+                            hit = (
+                                ring[slot, pl.ds(j * sub, sub), :]
+                                .astype(jnp.float32) == m32
+                            )
+                            ag = jnp.where(hit, idx_src[off + gi * G + j], ag)
+                        upd = m32 > cur.astype(jnp.float32)
                         cur_arg = argacc[pl.ds(d8, sub), :]
                         argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
                     acc[pl.ds(d8, sub), :] = jnp.maximum(cur, m)
@@ -295,8 +301,13 @@ def _spmm_fwd_kernel(
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
     if reduce == "max":
+        # empty rows still hold the -inf identity; zero them (DGL empty-row
+        # semantics).  The test upcasts to f32 and compares == -inf:
+        # Mosaic's isfinite (tpu.weird) and all 16-bit compares are
+        # f32-only on v5e, and the upcast is exact/identity.
         a = acc[...]
-        out_ref[...] = jnp.where(jnp.isfinite(a), a, jnp.zeros_like(a))
+        empty = a.astype(jnp.float32) == _NEG
+        out_ref[...] = jnp.where(empty, jnp.zeros_like(a), a)
     else:
         out_ref[...] = acc[...].astype(out_ref.dtype)
     if with_argmax:
@@ -513,12 +524,18 @@ def _masked_bwd16_kernel(
     *, r: int, dummy: int, unroll: int = U,
 ):
     """bf16 variant of the masked backward: each node row interleaves the
-    bf16 gradient lanes with int16 argmax lanes of EQUAL width (bitcast into
-    the same bf16 array), so one edge DMA costs 4 B/element vs the f32
-    path's 5.6 B.  The hit test compares int16 ids directly; hits upcast to
-    f32 before the log-depth tree sum and the f32 accumulator; dx_ref is
-    bf16 (the input dtype).  Node ids must fit int16 (< 2^15, guarded by
-    the caller); the dummy node's arg row is -1 so padded slots never hit."""
+    bf16 gradient lanes with int16 argmax lanes of EQUAL width, so one edge
+    DMA costs 4 B/element vs the f32 path's 5.6 B.
+
+    The fused row is INT16-typed end to end (``ga_hbm``/``ring``): float-
+    typed carriers are hazardous for smuggled id bits — node ids 0-127 are
+    denormal bf16 patterns and the TPU flushes bf16 denormals to zero on any
+    float-typed move (measured: the hit test silently never fired).  Integer
+    arrays are never canonicalized.  In-kernel, the gradient lanes bitcast
+    back to bf16, hits upcast to f32 before the log-depth tree sum and the
+    f32 accumulator; dx_ref is bf16 (the input dtype).  Node ids must fit
+    int16 (< 2^15, guarded by the caller); the dummy node's arg row is -1 so
+    padded slots never hit."""
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
@@ -572,12 +589,15 @@ def _masked_bwd16_kernel(
 
             @pl.when(sl < r)
             def _():
-                s16 = (base_node + sl).astype(jnp.int16)
-                pk = pltpu.bitcast(
-                    ring[slot, :, pl.ds(lane, lane)], jnp.int16)
+                # hit test in int32 (extend the int16 lanes): v5e Mosaic has
+                # no 16-bit cmpi lowering; ids < 2^15 so sign-extension is
+                # harmless and -1 sentinels never match.
+                s_g = base_node + sl
+                pk = ring[slot, :, pl.ds(lane, lane)].astype(jnp.int32)
+                grad = pltpu.bitcast(
+                    ring[slot, :, pl.ds(0, lane)], jnp.bfloat16)
                 buf = jnp.where(
-                    pk == s16, ring[slot, :, pl.ds(0, lane)],
-                    jnp.zeros((), ring.dtype),
+                    pk == s_g, grad, jnp.zeros((), jnp.bfloat16),
                 ).astype(jnp.float32)
                 h = G * sub
                 while h > sub:
@@ -625,16 +645,18 @@ def _run_masked_bwd16(
             "(parallel.partition) before exceeding 32768 padded nodes"
         )
     dummy = blocked_t.n_pad_nodes - 1
-    argsrc = jax.lax.dynamic_update_slice(
-        argsrc.reshape(n_pad * 16, lane),
-        jnp.full((16, lane), -1, jnp.int32),
-        (dummy * 16, 0),
-    )
+    # The dummy node's arg row is already -1 straight out of the forward
+    # kernel (argacc initializes to -1; padding slots carry dst_local == r
+    # and are skipped, and build_blocked_csr rejects real edges into the
+    # dummy), so padded-slot fetches never pass the hit test — no
+    # dummy-row rewrite (a full array copy) is needed here.
+    # int16-typed fused rows (see kernel docstring: bf16-typed carriers
+    # flush denormal id patterns to zero on hardware).
     ga = jnp.concatenate(
         [
-            g.reshape(n_pad * 16, lane),
             jax.lax.bitcast_convert_type(
-                argsrc.astype(jnp.int16), jnp.bfloat16),
+                g.reshape(n_pad * 16, lane), jnp.int16),
+            argsrc.reshape(n_pad * 16, lane).astype(jnp.int16),
         ],
         axis=1,
     )
@@ -649,7 +671,7 @@ def _run_masked_bwd16(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r * 16, lane), jnp.float32),
-            pltpu.VMEM((NG, G * 16, 2 * lane), jnp.bfloat16),
+            pltpu.VMEM((NG, G * 16, 2 * lane), jnp.int16),
             pltpu.SMEM((2 * T_E,), jnp.int32),
             pltpu.SMEM((2 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
@@ -687,17 +709,14 @@ def _run_masked_bwd(
         )
     # One fused (g ‖ packed-arg) row per node.  Argmax lanes k and
     # ``arg_lane + k`` pack into one int32 lane (node ids < 2^15); unused hi
-    # halves carry the 0xFFFF sentinel.  The dummy node's arg row is forced
-    # to -1 so padded-slot fetches never pass the hit test regardless of the
-    # fwd's contents.
+    # halves carry the 0xFFFF sentinel.  The dummy node's arg row is -1
+    # straight out of the forward kernel (argacc initializes to -1 and
+    # nothing writes the dummy row), so padded-slot fetches never pass the
+    # hit test — no dummy-row rewrite (a full array copy) is needed.
     dummy = blocked_t.n_pad_nodes - 1
     arg_lane = _round_up(max(lane // 2, 128), 128)
     hi_w = lane - arg_lane
-    argsrc = jax.lax.dynamic_update_slice(
-        argsrc.reshape(n_pad * 8, lane),
-        jnp.full((8, lane), -1, jnp.int32),
-        (dummy * 8, 0),
-    )
+    argsrc = argsrc.reshape(n_pad * 8, lane)
     lo = argsrc[:, :arg_lane]
     hi = jnp.concatenate(
         [

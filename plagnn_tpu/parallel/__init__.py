@@ -10,6 +10,8 @@ from .sharded import (  # noqa: F401
     halo_exchange,
     make_mesh,
     make_sharded_forward,
+    make_sharded_pallas_agg,
+    make_sharded_pallas_train_step,
     make_sharded_train_step,
     sharded_gcn_propagate,
     sharded_gnn32_apply,

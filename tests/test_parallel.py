@@ -142,6 +142,112 @@ def test_sharded_train_step_matches_single_chip(bundle):
         )
 
 
+@pytest.mark.parametrize("overlap", [True, False])
+def test_sharded_pallas_step_matches_single_chip(bundle, overlap):
+    """The fold-batched Pallas kernels inside the shard_map program (per-chip
+    BlockedCsr over the local gather space, halo all_to_all between) must
+    reproduce the single-chip XLA training step exactly — the two halves of
+    the north star in one program (VERDICT r1 missing #1)."""
+    from plagnn_tpu.parallel import make_sharded_pallas_train_step
+
+    ppi, feats, loc, label_list, graph, _ = bundle
+    pgp = partition_graph(
+        ppi.row, ppi.col, N, n_chips=4, add_self_loops=True,
+        widths=(4, 16, 64), overlap=overlap, pallas_rows_per_block=8,
+    )
+    assert pgp.pallas_local is not None
+    assert (pgp.pallas_interior is not None) == overlap
+    mesh = make_mesh(n_graph=4, n_fold=2)
+    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    w = weight_cal(loc)
+
+    tr_np, _ = fold_node_masks(label_list, pgp.n_chips * pgp.own_rows, 4, 12)
+    tr_np = tr_np[:2]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    params = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        init_gnn32(k1, feats.shape[1], 13, 9, 7, 5, 12),
+        init_gnn32(k2, feats.shape[1], 13, 9, 7, 5, 12),
+    )
+    opt_state = jax.vmap(tx.init)(params)
+
+    # single-chip reference
+    xp = jnp.asarray(pad_features(feats, graph.n_nodes))
+    yp = jnp.asarray(pad_features(loc, graph.n_nodes))
+    from plagnn_tpu.train.losses import multi_loss
+
+    masks_g = np.zeros((2, graph.n_nodes), bool)
+    masks_g[:, :N] = tr_np[:, :N]
+    ref_losses, ref_params = [], []
+    for b in range(2):
+        pb = jax.tree.map(lambda a: a[b], params)
+        ob = jax.tree.map(lambda a: a[b], opt_state)
+
+        def loss_fn(pp):
+            probs = gnn32_apply(pp, graph, xp)
+            return multi_loss(probs, yp, jnp.asarray(masks_g[b]),
+                              jnp.asarray(w, jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_fn)(pb)
+        updates, ob = tx.update(grads, ob, pb)
+        ref_losses.append(float(loss))
+        ref_params.append(optax.apply_updates(pb, updates))
+
+    x_shards = jnp.asarray(shard_features(feats, pgp))
+    y_shards = jnp.asarray(shard_features(loc, pgp))
+    tr_masks = jnp.asarray(
+        tr_np[:, : pgp.n_chips * pgp.own_rows].reshape(
+            2, pgp.n_chips, pgp.own_rows)
+    )
+    step = make_sharded_pallas_train_step(mesh, pgp, tx, w, interpret=True)
+    p2, o2, losses, probs = step(params, opt_state, x_shards, y_shards, tr_masks)
+
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    for b in range(2):
+        got = jax.tree.map(lambda a: np.asarray(a[b]), p2)
+        exp = jax.tree.map(np.asarray, ref_params[b])
+        jax.tree.map(
+            lambda g, e: np.testing.assert_allclose(g, e, rtol=1e-4, atol=1e-6),
+            got, exp,
+        )
+
+
+def test_sharded_pallas_step_bf16_close(bundle):
+    """bf16 messages in the sharded pallas step (halo exchange + edge DMAs
+    in bf16) stay within rounding of the f32 sharded step."""
+    from plagnn_tpu.parallel import make_sharded_pallas_train_step
+
+    ppi, feats, loc, label_list, graph, _ = bundle
+    pgp = partition_graph(
+        ppi.row, ppi.col, N, n_chips=4, add_self_loops=True,
+        widths=(4, 16, 64), pallas_rows_per_block=8,
+    )
+    mesh = make_mesh(n_graph=4, n_fold=2)
+    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    w = weight_cal(loc)
+    tr_np, _ = fold_node_masks(label_list, pgp.n_chips * pgp.own_rows, 4, 12)
+    tr_np = tr_np[:2]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    params = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        init_gnn32(k1, feats.shape[1], 13, 9, 7, 5, 12),
+        init_gnn32(k2, feats.shape[1], 13, 9, 7, 5, 12),
+    )
+    opt_state = jax.vmap(tx.init)(params)
+    x_shards = jnp.asarray(shard_features(feats, pgp))
+    y_shards = jnp.asarray(shard_features(loc, pgp))
+    tr_masks = jnp.asarray(
+        tr_np[:, : pgp.n_chips * pgp.own_rows].reshape(
+            2, pgp.n_chips, pgp.own_rows)
+    )
+    step32 = make_sharded_pallas_train_step(mesh, pgp, tx, w, interpret=True)
+    step16 = make_sharded_pallas_train_step(
+        mesh, pgp, tx, w, agg_dt=jnp.bfloat16, interpret=True)
+    _, _, l32, _ = step32(params, opt_state, x_shards, y_shards, tr_masks)
+    _, _, l16, _ = step16(params, opt_state, x_shards, y_shards, tr_masks)
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32), rtol=2e-2)
+
+
 def test_overlap_matches_no_overlap(bundle):
     """Interior/boundary-split (communication-overlapped) aggregation equals
     the monolithic halo path."""
