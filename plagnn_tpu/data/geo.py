@@ -8,7 +8,9 @@ GSE30931, hgu133plus2.db for GSE27182/GSE74572), inner-joins, and writes
 
 The Bioconductor databases are not redistributable here, so the probe→uniprot
 table is supplied as a two-column CSV (``probe_id,uniprot_id`` — the exact
-``toTable(<db>UNIPROT)`` export).  Everything else matches the R semantics:
+``toTable(<db>UNIPROT)`` export; run ``scripts/export_probe_map.R`` once on
+any machine with Bioconductor to produce the tables for all three platforms).
+Everything else matches the R semantics:
 probes with multiple accessions produce one row per accession (inner join),
 probes without a mapping are dropped, column order is uniprot_id first.
 """

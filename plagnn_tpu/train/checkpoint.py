@@ -45,6 +45,27 @@ def load_params(path: str, like: Any) -> Any:
     return jax.tree.unflatten(treedef, leaves)
 
 
+def save_state(path: str, state: Any) -> None:
+    """Atomically persist an arbitrary pytree (params + opt state + partial
+    history) for mid-round resume: write to a temp file, then rename — a
+    kill during the write never corrupts an existing checkpoint."""
+    import pickle
+
+    state = jax.tree.map(np.asarray, state)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> Any:
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def round_complete(path: str, round_idx: int, fold_num: int) -> bool:
     """True when every fold's logit artifact for a round exists — the resume
     predicate used by the train driver."""

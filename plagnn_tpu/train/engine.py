@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
+import functools
 import json
 import os
 from typing import Optional, Sequence, Tuple
@@ -55,6 +56,13 @@ class TrainConfig:
     resume: bool = True           # skip rounds whose artifacts already exist
     spmm_impl: str = "xla"        # 'xla' (bucketed ELL) | 'pallas' (fold-batched kernels)
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
+    # Mid-round checkpointing: persist params/opt/history every N epochs so
+    # a crash loses at most N epochs of one fold batch instead of the whole
+    # round (the reference can't resume training at all, SURVEY.md §5).
+    # 0 disables.  chunk_callback(round, alpha, start, epochs_done) fires
+    # after every chunk (progress reporting / fault-injection tests).
+    checkpoint_every: int = 0
+    chunk_callback: Optional[callable] = None
 
 
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
@@ -105,7 +113,8 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
             metrics["val"]["auc_macro"] = macro_auc(probs, labels, va_mask)
         return (params, opt_state, tr_mask, va_mask, alpha), (metrics, probs)
 
-    def one_fold(graph, feats, labels, params, opt_state, tr_mask, va_mask, alpha):
+    def one_fold(graph, feats, labels, params, opt_state, tr_mask, va_mask,
+                 alpha, n_epochs):
         # Carry the last pre-update probs out of the scan without stacking
         # the per-epoch (N, C) matrices: scan the metrics, thread probs.
         def body2(carry, x):
@@ -119,22 +128,27 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
             body2,
             ((params, opt_state, tr_mask, va_mask, alpha), probs0),
             None,
-            length=cfg.epoch_num,
+            length=n_epochs,
         )
         params, opt_state = state[0], state[1]
-        return params, last_probs, history
+        return params, opt_state, last_probs, history
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("n_epochs",))
     def run_impl(graph, feats, labels, params_batch, opt_batch,
-                 train_masks, val_masks, alpha):
+                 train_masks, val_masks, alpha, n_epochs):
+        fold = functools.partial(one_fold, n_epochs=n_epochs)
         return jax.vmap(
-            one_fold, in_axes=(None, None, None, 0, 0, 0, 0, None)
+            fold, in_axes=(None, None, None, 0, 0, 0, 0, None)
         )(graph, feats, labels, params_batch, opt_batch,
           train_masks, val_masks, alpha)
 
-    def run(params_batch, opt_batch, train_masks, val_masks, alpha):
+    def run(params_batch, opt_batch, train_masks, val_masks, alpha,
+            n_epochs: Optional[int] = None):
+        if opt_batch is None:
+            opt_batch = jax.vmap(tx.init)(params_batch)
         return run_impl(graph, feats, labels, params_batch, opt_batch,
-                        train_masks, val_masks, alpha)
+                        train_masks, val_masks, alpha,
+                        n_epochs=n_epochs or cfg.epoch_num)
 
     return run, tx
 
@@ -211,15 +225,9 @@ def make_batched_fold_runner(
                 lambda pr, m: macro_auc(pr, labels, m))(probs, va_masks)
         return (params, opt_state, tr_masks, va_masks, alpha), (metrics, probs)
 
-    @jax.jit
-    def run_impl(pg, feats, labels, params, opt_state, tr_masks, va_masks, alpha):
-        del opt_state
-        # Fold-batched params update through ONE optax state (Adam is
-        # elementwise; a vmapped init would give a per-fold `count` that
-        # breaks unbatched updates).  Fresh init is exact: every round
-        # starts from step 0 (the reference re-creates the optimizer per
-        # fold, train.py:180).
-        opt_state = tx.init(params)
+    @functools.partial(jax.jit, static_argnames=("n_epochs",))
+    def run_impl(pg, feats, labels, params, opt_state, tr_masks, va_masks,
+                 alpha, n_epochs):
         b = tr_masks.shape[0]
         probs0 = jnp.zeros((b, feats.shape[0], labels.shape[1]), jnp.float32)
 
@@ -232,15 +240,25 @@ def make_batched_fold_runner(
             body,
             ((params, opt_state, tr_masks, va_masks, alpha), probs0),
             None,
-            length=cfg.epoch_num,
+            length=n_epochs,
         )
         # history leaves are (E, B); transpose to the (B, E) convention
         history = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), history)
-        return state[0], last_probs, history
+        return state[0], state[1], last_probs, history
 
-    def run(params_batch, opt_batch, train_masks, val_masks, alpha):
+    def run(params_batch, opt_batch, train_masks, val_masks, alpha,
+            n_epochs: Optional[int] = None):
+        # Fold-batched params update through ONE optax state (Adam is
+        # elementwise; a vmapped init would give a per-fold `count` that
+        # breaks unbatched updates).  Fresh init (opt_batch=None) is exact:
+        # every round starts from step 0 (the reference re-creates the
+        # optimizer per fold, train.py:180); mid-round resume threads the
+        # saved state back in.
+        if opt_batch is None:
+            opt_batch = tx.init(params_batch)
         return run_impl(pallas_graph, jnp.asarray(feats), labels,
-                        params_batch, opt_batch, train_masks, val_masks, alpha)
+                        params_batch, opt_batch, train_masks, val_masks,
+                        alpha, n_epochs=n_epochs or cfg.epoch_num)
 
     return run, tx
 
@@ -337,7 +355,7 @@ def train(
     tsv_path = os.path.join(path, "log.tsv")
     txt_path = os.path.join(path, "txt_log.txt")
 
-    from .checkpoint import round_complete
+    from .checkpoint import load_state, round_complete, save_state
 
     for round_idx, fseed in enumerate(cfg.fold_seeds, start=1):
         if cfg.resume and round_complete(path, round_idx, cfg.fold_num):
@@ -348,7 +366,7 @@ def train(
             label_indices, graph.n_nodes, cfg.fold_num, fseed
         )
         train_dict, val_dict = {}, {}
-        for alpha in cfg.alpha_list:
+        for a_i, alpha in enumerate(cfg.alpha_list):
             train_d, val_d = {}, {}
             for start in range(0, cfg.fold_num, cfg.fold_batch):
                 stop = min(start + cfg.fold_batch, cfg.fold_num)
@@ -356,7 +374,7 @@ def train(
                 nb_run = nb  # any batch size: _agg_packed picks a legal stride
                 key, sub = jax.random.split(key)
                 params = init_fold_params(sub, cfg, in_feats, nb_run)
-                opt_state = jax.vmap(tx.init)(params)
+                opt_state = None  # runner-appropriate fresh init
                 def _pad_batch(m):
                     if nb_run == nb:
                         return m[start:stop]
@@ -365,12 +383,49 @@ def train(
                     return reps
                 tr_masks = jnp.asarray(_pad_batch(tr_masks_np))
                 va_masks = jnp.asarray(_pad_batch(va_masks_np))
-                f_params, f_probs, history = run(
-                    params, opt_state, tr_masks, va_masks, jnp.float32(alpha)
-                )
-                history = jax.device_get(history)
+
+                # Chunked epochs with mid-round checkpointing: a crash loses
+                # at most checkpoint_every epochs of this fold batch.
+                ck_every = int(cfg.checkpoint_every or 0)
+                ck_file = os.path.join(
+                    path, f"ckpt_r{round_idx}_a{a_i}_b{start}.pkl")
+                done = 0
+                history = None
+                if ck_every and cfg.resume and os.path.exists(ck_file):
+                    st = load_state(ck_file)
+                    params = jax.tree.map(jnp.asarray, st["params"])
+                    opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+                    done = int(st["epochs_done"])
+                    history = st["history"]
+                    if cfg.verbose:
+                        print(f"[round {round_idx}] resume fold batch "
+                              f"{start + 1}.. at epoch {done}")
+                f_probs = None
+                while done < cfg.epoch_num:
+                    n_run = (min(ck_every, cfg.epoch_num - done)
+                             if ck_every else cfg.epoch_num)
+                    params, opt_state, f_probs, hist = run(
+                        params, opt_state, tr_masks, va_masks,
+                        jnp.float32(alpha), n_epochs=n_run,
+                    )
+                    hist = jax.device_get(hist)
+                    history = hist if history is None else jax.tree.map(
+                        lambda a, b: np.concatenate([a, b], axis=1),
+                        history, hist)
+                    done += n_run
+                    if ck_every and done < cfg.epoch_num:
+                        save_state(ck_file, {
+                            "params": params,
+                            "opt_state": opt_state,
+                            "epochs_done": done,
+                            "history": history,
+                        })
+                    if cfg.chunk_callback is not None:
+                        cfg.chunk_callback(round_idx, alpha, start, done)
                 history = jax.tree.map(lambda a: a[:nb], history)
                 f_probs = np.asarray(f_probs)[:nb]
+                if ck_every and os.path.exists(ck_file):
+                    os.remove(ck_file)
 
                 for b in range(nb):
                     fold_flag = start + b + 1

@@ -54,8 +54,8 @@ def test_batched_runner_matches_vmapped(rng):
     opt = jax.vmap(tx.init)(params)
     tr = jnp.asarray(tr_np)
     va = jnp.asarray(va_np)
-    px, probs_x, hist_x = run_x(params, opt, tr, va, jnp.float32(0.1))
-    pp, probs_p, hist_p = run_p(params, opt, tr, va, jnp.float32(0.1))
+    px, _, probs_x, hist_x = run_x(params, opt, tr, va, jnp.float32(0.1))
+    pp, _, probs_p, hist_p = run_p(params, None, tr, va, jnp.float32(0.1))
 
     for k in ("aim", "cov", "acc", "loss"):
         np.testing.assert_allclose(
@@ -105,10 +105,9 @@ def test_batched_runner_bf16_agg_close_to_f32(rng):
     try:
         run_bf, _ = make_batched_fold_runner(
             graph, pg, feats_p, labels_p, w, node_valid, cfg)
-        opt = jax.vmap(tx.init)(params)
         tr, va = jnp.asarray(tr_np), jnp.asarray(va_np)
-        _, probs_f, hist_f = run_f32(params, opt, tr, va, jnp.float32(0.1))
-        _, probs_b, hist_b = run_bf(params, opt, tr, va, jnp.float32(0.1))
+        _, _, probs_f, hist_f = run_f32(params, None, tr, va, jnp.float32(0.1))
+        _, _, probs_b, hist_b = run_bf(params, None, tr, va, jnp.float32(0.1))
     finally:
         set_aggregation_dtype(None)
 

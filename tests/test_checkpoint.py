@@ -32,3 +32,77 @@ def test_round_complete_predicate(tmp_path):
     np.save(os.path.join(d, "1_2_loc_logits.npy"), np.zeros((4, 12)))
     assert round_complete(d, 1, 2)
     assert not round_complete(d, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Mid-round checkpointing (engine chunked epochs).
+# ---------------------------------------------------------------------------
+
+
+def _tiny_train(tmp_dir, **cfg_kw):
+    import dataclasses
+
+    import jax
+    from plagnn_tpu.data import synthetic_dataset
+    from plagnn_tpu.ops import from_scipy_coo, pad_features
+    from plagnn_tpu.train.engine import TrainConfig, train
+
+    ppi, feats, loc, label_list = synthetic_dataset(
+        n_nodes=96, n_edges=500, seed=4, feature_dims=(3, 6, 6)
+    )
+    graph = from_scipy_coo(
+        ppi, add_self_loops=True, widths=(4, 16, 64),
+        node_multiple=16, edge_multiple=64,
+    )
+    cfg = TrainConfig(
+        lr=1e-3, fold_num=2, epoch_num=5, fold_batch=2,
+        fold_seeds=(12,), hidden=(13, 9, 7, 5), compute_auc=False,
+        verbose=False, **cfg_kw,
+    )
+    feats_p = pad_features(feats, graph.n_nodes)
+    labels_p = pad_features(loc, graph.n_nodes)
+    train(graph, feats_p, labels_p, label_list, loc, cfg, str(tmp_dir) + "/")
+    return {
+        f: np.load(os.path.join(str(tmp_dir), f))
+        for f in sorted(os.listdir(str(tmp_dir))) if f.endswith(".npy")
+    }
+
+
+def test_chunked_training_transparent(tmp_path):
+    """checkpoint_every must not change the numerics: chunked scans (5 epochs
+    as 2+2+1) produce the same artifacts as one scan."""
+    ref = _tiny_train(tmp_path / "plain")
+    chk = _tiny_train(tmp_path / "chunked", checkpoint_every=2)
+    assert set(ref) == set(chk) and len(ref) == 2
+    for f in ref:
+        np.testing.assert_allclose(chk[f], ref[f], rtol=1e-6, atol=1e-7)
+    # no leftover mid-round checkpoint files
+    assert not [f for f in os.listdir(tmp_path / "chunked")
+                if f.startswith("ckpt_")]
+
+
+def test_kill_resume_mid_round(tmp_path):
+    """A crash after the first chunk leaves a checkpoint; re-running resumes
+    from it and produces artifacts identical to an uninterrupted run."""
+    ref = _tiny_train(tmp_path / "plain")
+
+    boom_dir = tmp_path / "crashy"
+    calls = []
+
+    def bomb(round_idx, alpha, start, done):
+        calls.append(done)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _tiny_train(boom_dir, checkpoint_every=2, chunk_callback=bomb)
+    cks = [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
+    assert cks, "crash after chunk 1 must leave a mid-round checkpoint"
+
+    got = _tiny_train(boom_dir, checkpoint_every=2)  # resume
+    assert set(got) == set(ref)
+    for f in ref:
+        np.testing.assert_allclose(got[f], ref[f], rtol=1e-6, atol=1e-7)
+    assert not [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]

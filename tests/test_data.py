@@ -182,3 +182,41 @@ def test_geo_reader(tmp_path):
     # probe2 maps to two accessions (inner join duplicates), probe3 dropped
     assert sorted(df["uniprot_id"]) == ["P11111", "P22222", "P99999"]
     assert float(df[df.uniprot_id == "P22222"]["GSM1"].iloc[0]) == 3.0
+
+
+def test_geo_to_expression_e2e(tmp_path):
+    """L0→L1 end to end: a miniature GEO series-matrix + probe-map CSV (the
+    scripts/export_probe_map.R contract) through `plagnn geo` (write_expr_set,
+    R write.csv layout with the unnamed index column) into the expression
+    alignment stage — multi-probe genes mean-aggregate, unmapped probes drop,
+    off-PPI proteins drop, missing proteins zero-fill."""
+    from plagnn_tpu.data.expression import align_expression
+    from plagnn_tpu.data.geo import write_expr_set
+
+    sm = tmp_path / "GSEmini_series_matrix.txt"
+    with open(sm, "w") as f:
+        f.write('!Series_title\t"mini"\n!Series_platform_id\t"GPLx"\n')
+        f.write('"ID_REF"\t"GSM1"\t"GSM2"\t"GSM3"\n')
+        f.write('"ILMN_1"\t1.0\t2.0\t3.0\n')
+        f.write('"ILMN_2"\t5.0\t5.0\t5.0\n')   # second probe of P11111
+        f.write('"ILMN_3"\t7.0\t8.0\t9.0\n')   # maps to P22222
+        f.write('"ILMN_4"\t1.0\t1.0\t1.0\n')   # unmapped -> dropped
+        f.write('"ILMN_5"\t4.0\t4.0\t4.0\n')   # maps off-PPI -> dropped later
+    pm = tmp_path / "probe_map.csv"
+    with open(pm, "w") as f:
+        f.write("probe_id,uniprot_id\n")
+        f.write("ILMN_1,P11111\nILMN_2,P11111\nILMN_3,P22222\nILMN_5,P99999\n")
+
+    out_csv = tmp_path / "GSEmini_exprSet.csv"
+    write_expr_set(str(sm), str(pm), str(out_csv))
+
+    # R write.csv layout: leading unnamed index column, uniprot_id first
+    with open(out_csv) as f:
+        header = f.readline().strip().split(",")
+    assert header[1] == "uniprot_id" and header[2:] == ["GSM1", "GSM2", "GSM3"]
+
+    protein_list = ["P11111", "P22222", "P33333"]  # PPI universe
+    expr = align_expression(str(out_csv), ["GSM1", "GSM2", "GSM3"], protein_list)
+    np.testing.assert_allclose(expr[0], [3.0, 3.5, 4.0])  # mean of 2 probes
+    np.testing.assert_allclose(expr[1], [7.0, 8.0, 9.0])
+    np.testing.assert_allclose(expr[2], [0.0, 0.0, 0.0])  # zero-fill

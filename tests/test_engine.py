@@ -95,7 +95,7 @@ def test_epoch_parity_vs_torch(bundle):
 
     params = jax.tree.map(lambda a: jnp.asarray(a)[None], params0)
     opt_state = jax.vmap(tx.init)(params)
-    f_params, f_probs, history = run(
+    f_params, _f_opt, f_probs, history = run(
         params,
         opt_state,
         jnp.asarray(tr_mask[None]),
