@@ -58,6 +58,56 @@ def diff_histogram(
     return bins, linked, unlinked
 
 
+def save_diff(z_inter, z_nor, ppi, out_dir: str, block_rows: int = 2048):
+    """Persist the ΔPCC artifact triple ``diff.npy`` / ``diff_link.npy`` /
+    ``diff_unlink.npy`` (figure.py:10-33 contract) from factor matrices.
+
+    Reference semantics preserved exactly: ``diff_link = diff[ppi == 1]``,
+    ``diff_unlink = diff[ppi == 0]`` — the unlink set INCLUDES the diagonal
+    (ppi has a zero diagonal; both PCC artifacts do too, so those entries
+    are 0), and ``diff.npy`` is the row-major flatten (the reference's
+    ``.sort()`` on a one-element list of rows is a no-op).  The dense
+    diff is produced block-by-block; the saved arrays are still O(N²) —
+    the reference's own ~16 GB artifact footprint.
+    """
+    n = z_inter.shape[0]
+    ppi = ppi.tocsr()
+    all_parts, link_parts, unlink_parts = [], [], []
+    for r0 in range(0, n, block_rows):
+        r1 = min(r0 + block_rows, n)
+        d = z_inter[r0:r1] @ z_inter.T - z_nor[r0:r1] @ z_nor.T
+        # the GCN artifacts carry zero diagonals (pcc_dense fill_diagonal);
+        # the factor form's self-correlation is 1 — force the artifact value
+        rr = np.arange(r0, r1)
+        d[rr - r0, rr] = 0.0
+        mask = np.asarray(ppi[r0:r1].todense()) > 0
+        all_parts.append(d.ravel())
+        link_parts.append(d[mask])
+        unlink_parts.append(d[~mask])
+    np.save(os.path.join(out_dir, "diff.npy"), np.concatenate(all_parts))
+    np.save(os.path.join(out_dir, "diff_link.npy"), np.concatenate(link_parts))
+    np.save(os.path.join(out_dir, "diff_unlink.npy"),
+            np.concatenate(unlink_parts))
+
+
+def hist_data_from_diff(gse_dir: str) -> dict:
+    """Rebuild ``hist_data.json`` from the saved diff artifacts — the
+    vectorized twin of the reference's get_fig_data (figure.py:36-76):
+    201 bin edges at -2 + 0.02·i, counts as ``[[i, count], ...]``."""
+    hist_data = {}
+    pcc_bin = [-2 + 0.02 * i for i in range(0, 201)]
+    for fname, flag in (("diff.npy", "all"), ("diff_link.npy", "link"),
+                        ("diff_unlink.npy", "unlink")):
+        mat = np.load(os.path.join(gse_dir, fname)).flatten()
+        idx = ((mat - (-2)) / 0.02).astype(np.int64)
+        counts = np.bincount(idx, minlength=201)[:201]
+        hist_data[flag] = [pcc_bin, [[i, int(c)] for i, c in enumerate(counts)]]
+    out = os.path.join(gse_dir, "hist_data.json")
+    with open(out, "w") as f:
+        json.dump(hist_data, f)
+    return hist_data
+
+
 def plot_diff_histogram(bins, linked, unlinked, title, out_path):
     """Log-scale ΔPCC histograms (figure.py:79-106)."""
     centers = 0.5 * (bins[:-1] + bins[1:])

@@ -141,6 +141,10 @@ def main(argv=None):
     p.add_argument("--diff-hist", action="store_true",
                    help="also render ΔPCC linked/unlinked histograms "
                         "(figure.py save_diff/fig)")
+    p.add_argument("--save-diff", action="store_true",
+                   help="persist the ΔPCC artifact triple diff.npy/"
+                        "diff_link.npy/diff_unlink.npy + hist_data.json "
+                        "(figure.py:10-76 contract; O(N²) on disk)")
     p.add_argument("--alpha-dist", action="store_true",
                    help="also render per-organelle distribution bars + JS "
                         "distance (figure.py fig_alpha)")
@@ -194,7 +198,8 @@ def main(argv=None):
         import scipy.sparse as sp
 
         from .analysis.figures import (
-            diff_histogram, fig_alpha, fig_and_perf, plot_diff_histogram,
+            diff_histogram, fig_alpha, fig_and_perf, hist_data_from_diff,
+            plot_diff_histogram, save_diff,
         )
         from .data.expression import pcc_factors
 
@@ -202,6 +207,16 @@ def main(argv=None):
                                          "fig_data_*.json")):
             fig_and_perf(fd, out_dir=os.path.dirname(fd))
         gm = os.path.join(args.data_root, "generate_materials")
+        if args.save_diff:
+            ppi = sp.load_npz(os.path.join(gm, "PPI_normal.npz"))
+            for dsd in glob.glob(os.path.join(gm, "GSE*_data")):
+                en = os.path.join(dsd, "expr_normal.npy")
+                ei = os.path.join(dsd, "expr_inter.npy")
+                if not (os.path.exists(en) and os.path.exists(ei)):
+                    continue
+                save_diff(pcc_factors(np.load(ei)), pcc_factors(np.load(en)),
+                          ppi, dsd)
+                hist_data_from_diff(dsd)
         if args.diff_hist:
             ppi = sp.load_npz(os.path.join(gm, "PPI_normal.npz"))
             for dsd in glob.glob(os.path.join(gm, "GSE*_data")):

@@ -27,38 +27,36 @@ def sample_neighbors(
     *,
     seeds: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Uniform fan-out sampling of in-edges.
+    """Uniform fan-out sampling of in-edges, fully vectorized.
 
     seeds: destination nodes to sample for (all nodes when None).
     Returns (src', dst') of the sampled edge set; nodes with ≤ fanout
     in-edges keep all of them.
+
+    Without-replacement uniformity comes from one random key per edge: a
+    (dst, key) lexsort permutes each destination row uniformly, and taking
+    the first ``fanout`` positions of each row is then a uniform
+    k-subset — O(E log E) total instead of a Python loop over every
+    destination (the loop costs O(N) host iterations *per epoch*).
     """
     rng = np.random.default_rng(seed)
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
-    order = np.argsort(dst, kind="stable")
+    if seeds is not None:
+        sel_mask = np.zeros(n_nodes, bool)
+        sel_mask[np.asarray(seeds, np.int64)] = True
+        keep = sel_mask[dst]
+        src, dst = src[keep], dst[keep]
+    if not len(dst):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((rng.random(len(dst)), dst))
     src, dst = src[order], dst[order]
     counts = np.bincount(dst, minlength=n_nodes)
-    indptr = np.zeros(n_nodes + 1, np.int64)
-    np.cumsum(counts, out=indptr[1:])
-
-    if seeds is None:
-        seeds = np.flatnonzero(counts)
-    out_s, out_d = [], []
-    for d in seeds:
-        s, e = indptr[d], indptr[d + 1]
-        deg = e - s
-        if deg == 0:
-            continue
-        if deg <= fanout:
-            sel = np.arange(s, e)
-        else:
-            sel = s + rng.choice(deg, size=fanout, replace=False)
-        out_s.append(src[sel])
-        out_d.append(np.full(len(sel), d, np.int64))
-    if not out_s:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(out_s), np.concatenate(out_d)
+    row_start = np.zeros(n_nodes, np.int64)
+    np.cumsum(counts[:-1], out=row_start[1:])
+    pos_in_row = np.arange(len(dst)) - row_start[dst]
+    keep = pos_in_row < fanout
+    return src[keep], dst[keep]
 
 
 def sampled_graph(

@@ -165,49 +165,52 @@ def partition_graph(
     owner_dst = dst // c
     owner_src = src // c
 
-    # Halo lists per ordered pair (q owner -> p consumer), q != p.
-    halo_lists = [[None] * p for _ in range(p)]
-    s_max = 1
-    for pp in range(p):
-        e_sel = owner_dst == pp
-        for q in range(p):
-            if q == pp:
-                continue
-            need = np.unique(src[e_sel & (owner_src == q)])
-            halo_lists[q][pp] = need
-            s_max = max(s_max, len(need))
+    # Halo tables, fully vectorized: the naive per-(consumer, owner) double
+    # loop re-masks the whole edge array P^2 times (O(P^2 * E), painful at
+    # the 10M-edge scaling sweep).  One sorted unique pass over cross-owner
+    # edges yields every (consumer pp, owner q) group's needed source rows;
+    # per-edge slot assignment is a searchsorted against the same table.
+    cross = owner_src != owner_dst
+    trip = np.unique(
+        np.stack([owner_dst[cross], owner_src[cross], src[cross]], axis=1),
+        axis=0,
+    )  # sorted rows: (consumer pp, owner q, global src)
+    grp_key = trip[:, 0] * p + trip[:, 1]
+    bounds = np.searchsorted(grp_key, np.arange(p * p + 1))
+    s_max = max(int(np.diff(bounds).max()) if len(trip) else 0, 1)
     s_pad = _round_up(s_max, 8)
 
     send_idx = np.full((p, p, s_pad), -1, np.int32)
-    # Position of each global halo row in consumer p's gather space.
-    for q in range(p):
-        for pp in range(p):
-            if q == pp or halo_lists[q][pp] is None:
+    # Position of each global halo row in consumer pp's gather space.
+    for pp in range(p):
+        for q in range(p):
+            lo, hi = bounds[pp * p + q], bounds[pp * p + q + 1]
+            if q == pp or lo == hi:
                 continue
-            rows = halo_lists[q][pp]
-            send_idx[q, pp, : len(rows)] = rows - q * c
+            send_idx[q, pp, : hi - lo] = trip[lo:hi, 2] - q * c
 
     n_local = c + p * s_pad  # + dummy/padding added by build_graph
 
-    # Build per-chip local edge lists with re-indexed sources.
-    chip_edges = []
-    for pp in range(p):
-        e_sel = owner_dst == pp
-        s_g = src[e_sel]
-        d_l = dst[e_sel] - pp * c
-        s_l = np.empty_like(s_g)
-        own = owner_src[e_sel] == pp
-        s_l[own] = s_g[own] - pp * c
-        for q in range(p):
-            if q == pp:
-                continue
-            m = owner_src[e_sel] == q
-            if not m.any():
-                continue
-            rows = halo_lists[q][pp]
-            slot = np.searchsorted(rows, s_g[m])
-            s_l[m] = c + q * s_pad + slot
-        chip_edges.append((s_l, d_l))
+    # Re-index every edge's source into its consumer's gather space in one
+    # vectorized pass: own edges map into the local block, cross edges to
+    # (halo base + owner block + slot-within-group) via the trip table.
+    n_key = int(src.max()) + 1 if len(src) else 1
+    key_trip = grp_key * n_key + trip[:, 2]
+    key_edge = (owner_dst[cross] * p + owner_src[cross]) * n_key + src[cross]
+    slot = (np.searchsorted(key_trip, key_edge)
+            - bounds[owner_dst[cross] * p + owner_src[cross]])
+    s_l_all = np.empty_like(src)
+    s_l_all[~cross] = src[~cross] - owner_dst[~cross] * c
+    s_l_all[cross] = c + owner_src[cross] * s_pad + slot
+    d_l_all = dst - owner_dst * c
+
+    order_e = np.argsort(owner_dst, kind="stable")
+    chip_bounds = np.searchsorted(owner_dst[order_e], np.arange(p + 1))
+    chip_edges = [
+        (s_l_all[order_e[chip_bounds[pp]:chip_bounds[pp + 1]]],
+         d_l_all[order_e[chip_bounds[pp]:chip_bounds[pp + 1]]])
+        for pp in range(p)
+    ]
 
     # Harmonize static dims across chips.  The pallas kernels additionally
     # need the padded node count to divide into rows_per_block blocks.

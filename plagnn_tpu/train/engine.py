@@ -51,6 +51,14 @@ class TrainConfig:
     hidden: Tuple[int, ...] = (400, 300, 200, 100)
     num_classes: int = 12
     compute_auc: bool = True
+    # AUC sampling cadence (epochs).  On-device AUC is sort-based and costs
+    # ~8x a plain epoch when run every epoch over the full padded node set
+    # (measured, BASELINE.md); the engine instead gathers the fold's val
+    # subset and samples AUC every auc_every epochs, carrying the last value
+    # between samples (the reference never computes AUC at all and logs
+    # other metrics every 5 epochs, train.py:229).  Chunked runs
+    # (checkpoint_every) restart the cadence at each chunk boundary.
+    auc_every: int = 5
     log_every: int = 5
     verbose: bool = True
     resume: bool = True           # skip rounds whose artifacts already exist
@@ -68,24 +76,47 @@ class TrainConfig:
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
 
 
-def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg):
+def _sampled_auc(probs, labels, va_mask, e_idx, last_auc, v_pad: int,
+                 auc_every: int):
+    """val-subset AUC at a sampling cadence.
+
+    Gathers the fold's validation rows (argsort of the mask — vmappable,
+    static width v_pad) so the sort-based AUC runs over ~|val| rows instead
+    of the full padded node set, and only every ``auc_every`` epochs
+    (lax.cond skips the work entirely on off epochs, carrying the last
+    sampled value)."""
+    def calc(_):
+        sel = jnp.argsort(1 - va_mask.astype(jnp.int32))[:v_pad]
+        valid = jnp.arange(v_pad) < jnp.sum(va_mask)
+        pv = probs[sel]
+        yv = labels[sel]
+        return micro_auc(pv, yv, valid), macro_auc(pv, yv, valid)
+
+    return jax.lax.cond(e_idx % auc_every == 0, calc, lambda _: last_auc, 0)
+
+
+def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid,
+                     cfg, val_width: Optional[int] = None):
     """Build the jit'd multi-fold multi-epoch runner.
 
     Returns run(params_batch, opt_state_batch, train_masks, val_masks, alpha)
-    → (final_params, final_probs, history) where history is a dict of
-    (batch, epochs) arrays plus pred_num (batch, epochs, C).
+    → (final_params, final_opt, final_probs, history) where history is a
+    dict of (batch, epochs) arrays plus pred_num (batch, epochs, C).
 
     The graph/features/labels are passed into the jitted program as
     arguments (not baked constants) so XLA compiles fast and one executable
-    serves all rounds.
+    serves all rounds.  val_width: static upper bound on a fold's val-set
+    size (AUC gather width; defaults to the full node set).
     """
     init_fn, apply_fn = MODEL_REGISTRY[cfg.model]
     del init_fn
     tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
     w = jnp.asarray(class_weight, jnp.float32)
+    v_pad = int(val_width or graph.n_nodes)
+    auc_every = max(int(getattr(cfg, "auc_every", 1) or 1), 1)
 
-    def epoch_step(graph, feats, labels, carry, _):
-        params, opt_state, tr_mask, va_mask, alpha = carry
+    def epoch_step(graph, feats, labels, carry, e_idx):
+        params, opt_state, tr_mask, va_mask, alpha, last_auc = carry
 
         def loss_fn(p):
             probs = apply_fn(p, graph, feats)
@@ -109,9 +140,11 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
             ).astype(jnp.int32),
         }
         if cfg.compute_auc:
-            metrics["val"]["auc_micro"] = micro_auc(probs, labels, va_mask)
-            metrics["val"]["auc_macro"] = macro_auc(probs, labels, va_mask)
-        return (params, opt_state, tr_mask, va_mask, alpha), (metrics, probs)
+            last_auc = _sampled_auc(
+                probs, labels, va_mask, e_idx, last_auc, v_pad, auc_every)
+            metrics["val"]["auc_micro"] = last_auc[0]
+            metrics["val"]["auc_macro"] = last_auc[1]
+        return (params, opt_state, tr_mask, va_mask, alpha, last_auc), (metrics, probs)
 
     def one_fold(graph, feats, labels, params, opt_state, tr_mask, va_mask,
                  alpha, n_epochs):
@@ -124,11 +157,11 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
 
         n = graph.n_nodes
         probs0 = jnp.zeros((n, labels.shape[1]), jnp.float32)
+        auc0 = (jnp.float32(0.5), jnp.float32(0.5))
         (state, last_probs), history = jax.lax.scan(
             body2,
-            ((params, opt_state, tr_mask, va_mask, alpha), probs0),
-            None,
-            length=n_epochs,
+            ((params, opt_state, tr_mask, va_mask, alpha, auc0), probs0),
+            jnp.arange(n_epochs),
         )
         params, opt_state = state[0], state[1]
         return params, opt_state, last_probs, history
@@ -154,7 +187,8 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid, cfg)
 
 
 def make_batched_fold_runner(
-    graph: Graph, pallas_graph, feats, labels, class_weight, node_valid, cfg
+    graph: Graph, pallas_graph, feats, labels, class_weight, node_valid, cfg,
+    val_width: Optional[int] = None,
 ):
     """Fold-batched runner: one jit'd scan where the fold ensemble is packed
     into the feature layout (N, B, F) and aggregation runs through the
@@ -173,9 +207,11 @@ def make_batched_fold_runner(
     # values) and back to f32 after.  bf16 rows are (16, stride/16) Mosaic
     # tiles, so the packing must align strides to 2048 instead of 1024.
     agg_dt = aggregation_dtype()
+    v_pad = int(val_width or graph.n_nodes)
+    auc_every = max(int(getattr(cfg, "auc_every", 1) or 1), 1)
 
-    def epoch_step(pg, feats, labels, carry, _):
-        params, opt_state, tr_masks, va_masks, alpha = carry  # masks (B, N)
+    def epoch_step(pg, feats, labels, carry, e_idx):
+        params, opt_state, tr_masks, va_masks, alpha, last_auc = carry  # masks (B, N)
 
         def agg(xp):
             if agg_dt is not None:
@@ -219,17 +255,31 @@ def make_batched_fold_runner(
             )(preds),
         }
         if cfg.compute_auc:
-            metrics["val"]["auc_micro"] = jax.vmap(
-                lambda pr, m: micro_auc(pr, labels, m))(probs, va_masks)
-            metrics["val"]["auc_macro"] = jax.vmap(
-                lambda pr, m: macro_auc(pr, labels, m))(probs, va_masks)
-        return (params, opt_state, tr_masks, va_masks, alpha), (metrics, probs)
+            # cond OUTSIDE the fold vmap: the cadence predicate is fold-
+            # independent, so off epochs skip the gather+sort entirely
+            # (a vmapped cond with a batched predicate would run both sides)
+            def calc_all(_):
+                def one(pr, m):
+                    sel = jnp.argsort(1 - m.astype(jnp.int32))[:v_pad]
+                    valid = jnp.arange(v_pad) < jnp.sum(m)
+                    return (micro_auc(pr[sel], labels[sel], valid),
+                            macro_auc(pr[sel], labels[sel], valid))
+
+                return jax.vmap(one)(probs, va_masks)
+
+            last_auc = jax.lax.cond(
+                e_idx % auc_every == 0, calc_all, lambda _: last_auc, 0)
+            metrics["val"]["auc_micro"] = last_auc[0]
+            metrics["val"]["auc_macro"] = last_auc[1]
+        return (params, opt_state, tr_masks, va_masks, alpha, last_auc), (metrics, probs)
 
     @functools.partial(jax.jit, static_argnames=("n_epochs",))
     def run_impl(pg, feats, labels, params, opt_state, tr_masks, va_masks,
                  alpha, n_epochs):
         b = tr_masks.shape[0]
         probs0 = jnp.zeros((b, feats.shape[0], labels.shape[1]), jnp.float32)
+        auc0 = (jnp.full((b,), 0.5, jnp.float32),
+                jnp.full((b,), 0.5, jnp.float32))
 
         def body(carry, x):
             state, _ = carry
@@ -238,9 +288,8 @@ def make_batched_fold_runner(
 
         (state, last_probs), history = jax.lax.scan(
             body,
-            ((params, opt_state, tr_masks, va_masks, alpha), probs0),
-            None,
-            length=n_epochs,
+            ((params, opt_state, tr_masks, va_masks, alpha, auc0), probs0),
+            jnp.arange(n_epochs),
         )
         # history leaves are (E, B); transpose to the (B, E) convention
         history = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), history)
@@ -318,6 +367,10 @@ def train(
     node_valid = jnp.asarray(np.arange(graph.n_nodes) < graph.n_real_nodes)
     feats = jnp.asarray(feats)
     labels = jnp.asarray(labels)
+    # static AUC gather width: sklearn KFold's largest val fold is
+    # ceil(n/k); padded to a sublane multiple
+    v_max = -(-len(label_indices) // max(cfg.fold_num, 1))
+    val_width = min(((v_max + 7) // 8) * 8, graph.n_nodes)
 
     if cfg.spmm_impl == "pallas":
         from ..models.batched import packed_stride
@@ -340,10 +393,12 @@ def train(
         rpb = pick_rows_per_block(graph.n_nodes, stride)
         pallas_graph = build_pallas_graph(src_np, dst_np, graph.n_nodes, rpb)
         run, tx = make_batched_fold_runner(
-            graph, pallas_graph, feats, labels, class_weight, node_valid, cfg)
+            graph, pallas_graph, feats, labels, class_weight, node_valid, cfg,
+            val_width=val_width)
     else:
         run, tx = make_fold_runner(
-            graph, feats, labels, class_weight, node_valid, cfg)
+            graph, feats, labels, class_weight, node_valid, cfg,
+            val_width=val_width)
 
     n_real = graph.n_real_nodes
     labels_np = np.asarray(labels)[:n_real]

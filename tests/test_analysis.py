@@ -80,3 +80,44 @@ def test_performances_record_no_mutation(rng):
     # unlike the reference numpy twin (performance.py:73-74), inputs intact
     np.testing.assert_array_equal(t, t0)
     np.testing.assert_array_equal(p, p0)
+
+
+def test_save_diff_matches_dense_reference(tmp_path):
+    """diff.npy/diff_link.npy/diff_unlink.npy (figure.py:10-33 contract):
+    blocked factor-form computation == dense (inter - normal) indexing,
+    diagonal included in the unlink set."""
+    import scipy.sparse as sp
+
+    from plagnn_tpu.analysis.figures import hist_data_from_diff, save_diff
+    from plagnn_tpu.data.expression import pcc_dense, pcc_factors
+
+    rng = np.random.default_rng(5)
+    n = 37
+    expr_n = rng.standard_normal((n, 3))
+    expr_i = expr_n + 0.3 * rng.standard_normal((n, 3))
+    expr_n[4] = 0.0  # zero-variance row (NaN→0 path)
+    rows = rng.integers(0, n, 60)
+    cols = rng.integers(0, n, 60)
+    keep = rows != cols
+    ppi = sp.coo_matrix(
+        (np.ones(keep.sum()), (rows[keep], cols[keep])), shape=(n, n))
+    ppi = ((ppi + ppi.T) > 0).astype(np.int64)
+
+    save_diff(pcc_factors(expr_i), pcc_factors(expr_n), ppi, str(tmp_path),
+              block_rows=8)
+
+    diff_ref = pcc_dense(expr_i) - pcc_dense(expr_n)
+    dense_mask = np.asarray(ppi.todense()) == 1
+    np.testing.assert_allclose(
+        np.load(tmp_path / "diff.npy"), diff_ref.ravel(), atol=1e-12)
+    np.testing.assert_allclose(
+        np.load(tmp_path / "diff_link.npy"), diff_ref[dense_mask], atol=1e-12)
+    np.testing.assert_allclose(
+        np.load(tmp_path / "diff_unlink.npy"), diff_ref[~dense_mask],
+        atol=1e-12)
+
+    hd = hist_data_from_diff(str(tmp_path))
+    assert set(hd) == {"all", "link", "unlink"}
+    assert len(hd["all"][0]) == 201 and hd["all"][1][0] == [0, 0]
+    assert sum(c for _, c in hd["all"][1]) == n * n
+    assert sum(c for _, c in hd["link"][1]) == int(dense_mask.sum())

@@ -165,3 +165,33 @@ def test_kfold_matches_sklearn_directly():
         assert set(np.flatnonzero(va[f])) == set(label_arr[va_idx])
         assert set(np.flatnonzero(tr[f])) == set(label_arr[tr_idx])
         assert not (tr[f] & va[f]).any()
+
+
+def test_sampled_auc_matches_full_mask():
+    """The val-subset gathered AUC (engine cadence path) equals the
+    full-array masked AUC at compute epochs, and carries the last value on
+    off epochs."""
+    import jax
+    import jax.numpy as jnp
+
+    from plagnn_tpu.train.engine import _sampled_auc
+    from plagnn_tpu.train.metrics import macro_auc, micro_auc
+
+    rng = np.random.default_rng(8)
+    n, c = 64, 12
+    probs = jnp.asarray(rng.random((n, c)).astype(np.float32))
+    labels = jnp.asarray((rng.random((n, c)) < 0.3).astype(np.float32))
+    mask_np = np.zeros(n, bool)
+    mask_np[rng.choice(n, 17, replace=False)] = True
+    mask = jnp.asarray(mask_np)
+
+    full = (micro_auc(probs, labels, mask), macro_auc(probs, labels, mask))
+    last = (jnp.float32(0.25), jnp.float32(0.75))
+    got = _sampled_auc(probs, labels, mask, jnp.int32(0), last,
+                       v_pad=24, auc_every=5)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(full[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(full[1]), rtol=1e-6)
+    # off epoch: carries the last sample untouched
+    off = _sampled_auc(probs, labels, mask, jnp.int32(3), last,
+                       v_pad=24, auc_every=5)
+    assert float(off[0]) == 0.25 and float(off[1]) == 0.75
