@@ -99,10 +99,11 @@ def main():
     best_name = "xla_per_fold"
 
     # --- Pallas fold-batched path ------------------------------------------
+    pallas_ok = False
     if on_tpu:
         try:
             from plagnn_tpu.ops.pallas.spmm_kernels import (
-                build_pallas_graph, pallas_spmm_max,
+                build_pallas_graph, pallas_spmm_max, pick_rows_per_block,
             )
 
             src = np.asarray(graph.src)[:e_real]
@@ -129,8 +130,37 @@ def main():
                     f"{p_eps/1e6:.1f} M edge-folds/s")
                 if p_eps > best_eps:
                     best_eps, best_name = p_eps, "pallas_fold_batched"
+                pallas_ok = True
             except Exception as e:
                 log(f"pallas fwd+bwd unavailable: {str(e)[:160]}")
+
+            # bf16 message mode at the fold batch that amortizes the
+            # scalar-core DMA-issue floor (B=24, stride 12288): halves the
+            # bytes of every edge DMA; max is exact over the rounded inputs
+            # and the backward fuses bf16 grads + int16 argmax lanes.
+            try:
+                b16, s16 = 24, 24 * 512
+                rpb16 = pick_rows_per_block(graph.n_nodes, s16)
+                pg16 = build_pallas_graph(src, dst, graph.n_nodes, rpb16)
+                xb16 = jnp.tile(
+                    x[:, None, :512], (1, 1, b16)
+                )  # layout-agnostic per-position max: any packing works
+                p_fb16 = jax.jit(
+                    lambda pg_, xb_: jnp.sum(jax.grad(
+                        lambda xx: jnp.sum(
+                            pallas_spmm_max(
+                                pg_, xx.astype(jnp.bfloat16)
+                            ).astype(jnp.float32) ** 2)
+                    )(xb_))
+                )
+                dtb16 = timed(p_fb16, pg16, xb16, reps=reps)
+                p16_eps = b16 * e_real / dtb16
+                log(f"pallas bf16 fwd+bwd (B={b16}): {dtb16*1e3:.2f} ms → "
+                    f"{p16_eps/1e6:.1f} M edge-folds/s")
+                if p16_eps > best_eps:
+                    best_eps, best_name = p16_eps, "pallas_bf16_fold_batched"
+            except Exception as e:
+                log(f"pallas bf16 path unavailable: {str(e)[:200]}")
         except Exception as e:
             log(f"pallas path unavailable: {str(e)[:160]}")
 
@@ -210,12 +240,21 @@ def main():
     log(f"best: {best_name} at {best_eps/1e6:.1f} M edge(-fold)s/s; "
         f"SOL {sol/1e6:.1f} M/s → {vs:.3f}")
 
-    print(json.dumps({
+    result = {
         "metric": "spmm_max_fwd_bwd_edges_per_sec_per_chip",
         "value": round(best_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+    if on_tpu and not pallas_ok:
+        # The production fast path regressed: refuse to let the XLA
+        # fallback masquerade as a healthy result (exit nonzero so the
+        # driver/CI flags it; the JSON still records what DID run).
+        result["degraded"] = "pallas_path_failed"
+        print(json.dumps(result))
+        log("FAIL: pallas fold-batched path did not run on TPU")
+        sys.exit(1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,13 @@ import argparse
 import os
 import sys
 
+# Persistent compiled-executable cache: remote-TPU compiles take minutes; a
+# cached executable makes repeat CLI invocations (more rounds, the inter
+# condition, resume after a crash) start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("-data", required=True,

@@ -313,8 +313,15 @@ def make_batched_fold_runner(
 
 
 def init_fold_params(key, cfg, in_feats: int, n_folds: int):
+    return init_fold_params_from_keys(
+        jax.random.split(key, n_folds), cfg, in_feats)
+
+
+def init_fold_params_from_keys(keys, cfg, in_feats: int):
+    """Init a fold batch from explicit per-fold keys — the train driver
+    derives each fold's key from (seed, round, fold, alpha) via fold_in so
+    results are invariant to the fold_batch packing."""
     init_fn, _ = MODEL_REGISTRY[cfg.model]
-    keys = jax.random.split(key, n_folds)
     if cfg.model == "gnn32":
         h1, h2, h3, h4 = cfg.hidden
         return jax.vmap(
@@ -412,121 +419,140 @@ def train(
 
     from .checkpoint import load_state, round_complete, save_state
 
+    # Cross-round fold batching: a fold is just (fresh params, masks) —
+    # folds of DIFFERENT rounds are as independent as folds within a round
+    # (the reference's 10×10 structure is embarrassingly parallel,
+    # train.py:162-178).  The work queue flattens (round, fold) and chunks
+    # by fold_batch, so --fold-batch 20/24 packs folds of two+ rounds into
+    # each kernel call — the measured bf16 throughput plateau (BASELINE.md)
+    # sits at B≈24, 1.5× the per-round B=10 shape.
+    rounds_todo = []
     for round_idx, fseed in enumerate(cfg.fold_seeds, start=1):
         if cfg.resume and round_complete(path, round_idx, cfg.fold_num):
             if cfg.verbose:
                 print(f"[round {round_idx}] artifacts complete, skipping (resume)")
             continue
-        tr_masks_np, va_masks_np = fold_node_masks(
+        tr_np, va_np = fold_node_masks(
             label_indices, graph.n_nodes, cfg.fold_num, fseed
         )
-        train_dict, val_dict = {}, {}
-        for a_i, alpha in enumerate(cfg.alpha_list):
-            train_d, val_d = {}, {}
-            for start in range(0, cfg.fold_num, cfg.fold_batch):
-                stop = min(start + cfg.fold_batch, cfg.fold_num)
-                nb = stop - start
-                nb_run = nb  # any batch size: _agg_packed picks a legal stride
-                key, sub = jax.random.split(key)
-                params = init_fold_params(sub, cfg, in_feats, nb_run)
-                opt_state = None  # runner-appropriate fresh init
-                def _pad_batch(m):
-                    if nb_run == nb:
-                        return m[start:stop]
-                    reps = np.concatenate(
-                        [m[start:stop]] + [m[stop - 1:stop]] * (nb_run - nb))
-                    return reps
-                tr_masks = jnp.asarray(_pad_batch(tr_masks_np))
-                va_masks = jnp.asarray(_pad_batch(va_masks_np))
+        rounds_todo.append((round_idx, tr_np, va_np))
 
-                # Chunked epochs with mid-round checkpointing: a crash loses
-                # at most checkpoint_every epochs of this fold batch.
-                ck_every = int(cfg.checkpoint_every or 0)
-                ck_file = os.path.join(
-                    path, f"ckpt_r{round_idx}_a{a_i}_b{start}.pkl")
-                done = 0
-                history = None
-                if ck_every and cfg.resume and os.path.exists(ck_file):
-                    st = load_state(ck_file)
-                    params = jax.tree.map(jnp.asarray, st["params"])
-                    opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
-                    done = int(st["epochs_done"])
-                    history = st["history"]
-                    if cfg.verbose:
-                        print(f"[round {round_idx}] resume fold batch "
-                              f"{start + 1}.. at epoch {done}")
-                f_probs = None
-                while done < cfg.epoch_num:
-                    n_run = (min(ck_every, cfg.epoch_num - done)
-                             if ck_every else cfg.epoch_num)
-                    params, opt_state, f_probs, hist = run(
-                        params, opt_state, tr_masks, va_masks,
-                        jnp.float32(alpha), n_epochs=n_run,
-                    )
-                    hist = jax.device_get(hist)
-                    history = hist if history is None else jax.tree.map(
-                        lambda a, b: np.concatenate([a, b], axis=1),
-                        history, hist)
-                    done += n_run
-                    if ck_every and done < cfg.epoch_num:
-                        save_state(ck_file, {
-                            "params": params,
-                            "opt_state": opt_state,
-                            "epochs_done": done,
-                            "history": history,
-                        })
-                    if cfg.chunk_callback is not None:
-                        cfg.chunk_callback(round_idx, alpha, start, done)
-                history = jax.tree.map(lambda a: a[:nb], history)
-                f_probs = np.asarray(f_probs)[:nb]
-                if ck_every and os.path.exists(ck_file):
-                    os.remove(ck_file)
+    fig_acc = {r[0]: {"train": {}, "validation": {}} for r in rounds_todo}
+    done_cnt = {r[0]: 0 for r in rounds_todo}
+    per_round_total = len(cfg.alpha_list) * cfg.fold_num
 
-                for b in range(nb):
-                    fold_flag = start + b + 1
-                    train_d[fold_flag] = {
-                        k: np.asarray(history["train"][k][b]).astype(float).tolist()
-                        for k in METRIC_KEYS
-                    }
-                    val_d[fold_flag] = {
-                        k: np.asarray(history["val"][k][b]).astype(float).tolist()
-                        for k in METRIC_KEYS
-                    }
-                    if cfg.compute_auc:
-                        val_d[fold_flag]["auc_micro"] = (
-                            np.asarray(history["val"]["auc_micro"][b]).astype(float).tolist()
-                        )
-                        val_d[fold_flag]["auc_macro"] = (
-                            np.asarray(history["val"]["auc_macro"][b]).astype(float).tolist()
-                        )
-
-                    logits_b = f_probs[b, :n_real]
-                    np.save(
-                        os.path.join(path, f"{round_idx}_{fold_flag}_loc_logits"),
-                        logits_b.astype(np.float32),
-                    )
-                    _write_epoch_logs(
-                        txt_path, cfg, round_idx, fold_flag, alpha,
-                        history, b, p_label_scale, p_label_num, device_name,
-                        n_real,
-                    )
-                    log_write_flag = _write_tsv(
-                        tsv_path, log_write_flag, round_idx, fold_flag, alpha,
-                        logits_b, labels_np, tr_masks_np[start + b],
-                        va_masks_np[start + b], label_names, n_real, node_alpha=alpha,
-                    )
-            train_dict[alpha] = train_d
-            val_dict[alpha] = val_d
-        fig_data = {"train": train_dict, "validation": val_dict}
+    def _flush_round(round_idx):
+        fig_data = fig_acc.pop(round_idx)
         with open(os.path.join(path, f"fig_data_{round_idx}.json"), "w") as f:
             json.dump(fig_data, f)
         if cfg.verbose:
-            last = {k: float(np.mean([v[k][-1] for v in val_dict[cfg.alpha_list[0]].values()]))
+            val_d = fig_data["validation"][cfg.alpha_list[0]]
+            last = {k: float(np.mean([v[k][-1] for v in val_d.values()]))
                     for k in METRIC_KEYS}
             print(
                 f"[round {round_idx}/{len(cfg.fold_seeds)}] "
                 + ", ".join(f"val {k}={v:.3f}" for k, v in last.items())
             )
+
+    ck_every = int(cfg.checkpoint_every or 0)
+    for a_i, alpha in enumerate(cfg.alpha_list):
+        jobs = [
+            (round_idx, f + 1, tr_np[f], va_np[f])
+            for round_idx, tr_np, va_np in rounds_todo
+            for f in range(cfg.fold_num)
+        ]
+        for c0 in range(0, len(jobs), cfg.fold_batch):
+            chunk = jobs[c0:c0 + cfg.fold_batch]
+            nb = len(chunk)
+            # per-fold keys from (seed, round, fold, alpha): init is
+            # invariant to fold_batch packing and to resume order
+            jkeys = jnp.stack([
+                jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(key, r_i), f_f), a_i)
+                for r_i, f_f, _, _ in chunk
+            ])
+            params = init_fold_params_from_keys(jkeys, cfg, in_feats)
+            opt_state = None  # runner-appropriate fresh init
+            tr_masks = jnp.asarray(np.stack([j[2] for j in chunk]))
+            va_masks = jnp.asarray(np.stack([j[3] for j in chunk]))
+
+            # Chunked epochs with mid-run checkpointing: a crash loses at
+            # most checkpoint_every epochs of this job chunk.
+            ck_file = os.path.join(path, f"ckpt_a{a_i}_j{c0}.pkl")
+            done = 0
+            history = None
+            if ck_every and cfg.resume and os.path.exists(ck_file):
+                st = load_state(ck_file)
+                params = jax.tree.map(jnp.asarray, st["params"])
+                opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+                done = int(st["epochs_done"])
+                history = st["history"]
+                if cfg.verbose:
+                    print(f"[alpha {alpha}] resume job chunk {c0}.. "
+                          f"at epoch {done}")
+            f_probs = None
+            while done < cfg.epoch_num:
+                n_run = (min(ck_every, cfg.epoch_num - done)
+                         if ck_every else cfg.epoch_num)
+                params, opt_state, f_probs, hist = run(
+                    params, opt_state, tr_masks, va_masks,
+                    jnp.float32(alpha), n_epochs=n_run,
+                )
+                hist = jax.device_get(hist)
+                history = hist if history is None else jax.tree.map(
+                    lambda a, b: np.concatenate([a, b], axis=1),
+                    history, hist)
+                done += n_run
+                if ck_every and done < cfg.epoch_num:
+                    save_state(ck_file, {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "epochs_done": done,
+                        "history": history,
+                    })
+                if cfg.chunk_callback is not None:
+                    cfg.chunk_callback(chunk[0][0], alpha, c0, done)
+            f_probs = np.asarray(f_probs)
+            if ck_every and os.path.exists(ck_file):
+                os.remove(ck_file)
+
+            for b, (round_idx, fold_flag, trm, vam) in enumerate(chunk):
+                train_d = fig_acc[round_idx]["train"].setdefault(alpha, {})
+                val_d = fig_acc[round_idx]["validation"].setdefault(alpha, {})
+                train_d[fold_flag] = {
+                    k: np.asarray(history["train"][k][b]).astype(float).tolist()
+                    for k in METRIC_KEYS
+                }
+                val_d[fold_flag] = {
+                    k: np.asarray(history["val"][k][b]).astype(float).tolist()
+                    for k in METRIC_KEYS
+                }
+                if cfg.compute_auc:
+                    val_d[fold_flag]["auc_micro"] = (
+                        np.asarray(history["val"]["auc_micro"][b]).astype(float).tolist()
+                    )
+                    val_d[fold_flag]["auc_macro"] = (
+                        np.asarray(history["val"]["auc_macro"][b]).astype(float).tolist()
+                    )
+
+                logits_b = f_probs[b, :n_real]
+                np.save(
+                    os.path.join(path, f"{round_idx}_{fold_flag}_loc_logits"),
+                    logits_b.astype(np.float32),
+                )
+                _write_epoch_logs(
+                    txt_path, cfg, round_idx, fold_flag, alpha,
+                    history, b, p_label_scale, p_label_num, device_name,
+                    n_real,
+                )
+                log_write_flag = _write_tsv(
+                    tsv_path, log_write_flag, round_idx, fold_flag, alpha,
+                    logits_b, labels_np, trm, vam, label_names, n_real,
+                    node_alpha=alpha,
+                )
+                done_cnt[round_idx] += 1
+                if done_cnt[round_idx] == per_round_total:
+                    _flush_round(round_idx)
 
 
 def _write_epoch_logs(
