@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu-virtual", type=int, default=0,
                     help="force N virtual CPU devices (validation mode)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="per-chip fold-batched Pallas aggregation inside "
+                         "the sharded step (local gather space must stay "
+                         "under the 32768-node int16 argmax ceiling)")
+    ap.add_argument("--pallas-interpret", action="store_true")
     args = ap.parse_args()
 
     if args.cpu_virtual:
@@ -55,7 +60,8 @@ def main():
     from plagnn_tpu.data import synthetic_dataset
     from plagnn_tpu.models import init_gnn32
     from plagnn_tpu.parallel import (
-        make_mesh, make_sharded_train_step, partition_graph, shard_features,
+        make_mesh, make_sharded_pallas_train_step, make_sharded_train_step,
+        partition_graph, shard_features,
     )
     from plagnn_tpu.train import weight_cal
     from plagnn_tpu.train.kfold import fold_node_masks
@@ -73,8 +79,10 @@ def main():
         if p * args.folds > len(jax.devices()):
             print(f"skip {p} chips (not enough devices)", file=sys.stderr)
             continue
-        pg = partition_graph(ppi.row, ppi.col, args.nodes, n_chips=p,
-                             add_self_loops=True)
+        pg = partition_graph(
+            ppi.row, ppi.col, args.nodes, n_chips=p, add_self_loops=True,
+            pallas_rows_per_block=8 if args.pallas else None,
+        )
         mesh = make_mesh(n_graph=p, n_fold=args.folds)
         b_folds = args.folds
         keys = jax.random.split(jax.random.PRNGKey(70), b_folds)
@@ -91,7 +99,11 @@ def main():
                 b_folds, pg.n_chips, pg.own_rows))
         x = jnp.asarray(shard_features(feats, pg))
         y = jnp.asarray(shard_features(loc, pg))
-        step = make_sharded_train_step(mesh, pg, tx, w)
+        if args.pallas:
+            step = make_sharded_pallas_train_step(
+                mesh, pg, tx, w, interpret=args.pallas_interpret)
+        else:
+            step = make_sharded_train_step(mesh, pg, tx, w)
 
         p2, o2, losses, probs = step(params, opt_state, x, y, tr)
         _ = np.asarray(losses)  # hard sync

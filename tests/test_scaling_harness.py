@@ -29,6 +29,22 @@ def test_scaling_sweep_toy(capsys, monkeypatch):
     assert "scaling_efficiency" in results[1]
 
 
+def test_scaling_sweep_toy_pallas(capsys, monkeypatch):
+    """--pallas mode: the sharded step runs the per-chip Pallas kernels."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import scaling
+
+    monkeypatch.setattr(sys, "argv", [
+        "scaling.py", "--nodes", "160", "--edges", "800", "--chips", "2",
+        "--folds", "1", "--features", "16", "--hidden", "13", "9", "7", "5",
+        "--reps", "1", "--pallas", "--pallas-interpret",
+    ])
+    scaling.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    results = json.loads(out)
+    assert results[0]["chips"] == 2 and results[0]["edges_per_s"] > 0
+
+
 _WORKER = r"""
 import os, sys
 sys.path.insert(0, {repo!r})
