@@ -48,6 +48,14 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--seed", type=int, default=70)
     p.add_argument("--no-auc", action="store_true")
+    p.add_argument("--auc-every", type=int, default=5,
+                   help="AUC sampling cadence in epochs (the on-device AUC "
+                        "is sort-based; every epoch costs ~8x a plain "
+                        "epoch; the value carries between samples)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="persist params/opt/history every N epochs for "
+                        "mid-round crash resume (0 = round-level resume "
+                        "only)")
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--agg-dtype", default="float32",
@@ -98,6 +106,8 @@ def _train(args, condition: str):
         seed=args.seed,
         fold_batch=args.fold_batch,
         compute_auc=not args.no_auc,
+        auc_every=args.auc_every,
+        checkpoint_every=args.checkpoint_every,
         spmm_impl=args.spmm,
         pallas_interpret=args.pallas_interpret,
     )

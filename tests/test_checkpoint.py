@@ -153,3 +153,36 @@ def test_cross_round_fold_batching_invariant(tmp_path):
     for fb in (2, 4):
         for r in (1, 2):
             assert os.path.exists(tmp_path / f"fb{fb}" / f"fig_data_{r}.json")
+
+
+def test_multi_alpha_cross_round(tmp_path):
+    """Two alphas x two rounds through the flattened job queue: every
+    (round, fold) logit exists and fig_data carries both alpha keys."""
+    import json
+
+    from plagnn_tpu.data import synthetic_dataset
+    from plagnn_tpu.ops import from_scipy_coo, pad_features
+    from plagnn_tpu.train.engine import TrainConfig, train
+
+    ppi, feats, loc, label_list = synthetic_dataset(
+        n_nodes=96, n_edges=500, seed=4, feature_dims=(3, 6, 6)
+    )
+    graph = from_scipy_coo(
+        ppi, add_self_loops=True, widths=(4, 16, 64),
+        node_multiple=16, edge_multiple=64,
+    )
+    cfg = TrainConfig(
+        lr=1e-3, fold_num=2, epoch_num=3, fold_batch=4,
+        alpha_list=(0.1, 0.3), fold_seeds=(12, 22),
+        hidden=(13, 9, 7, 5), compute_auc=False, verbose=False,
+    )
+    d = str(tmp_path) + "/"
+    train(graph, pad_features(feats, graph.n_nodes),
+          pad_features(loc, graph.n_nodes), label_list, loc, cfg, d)
+    for r in (1, 2):
+        for f in (1, 2):
+            assert os.path.exists(tmp_path / f"{r}_{f}_loc_logits.npy")
+        with open(tmp_path / f"fig_data_{r}.json") as fh:
+            fig = json.load(fh)
+        assert set(fig["validation"].keys()) == {"0.1", "0.3"}
+        assert set(fig["validation"]["0.1"].keys()) == {"1", "2"}
