@@ -143,7 +143,8 @@ def main():
                 rpb16 = pick_rows_per_block(graph.n_nodes, s16)
                 pg16 = build_pallas_graph(src, dst, graph.n_nodes, rpb16)
                 xb16 = jnp.tile(
-                    x[:, None, :512], (1, 1, b16)
+                    jnp.pad(x[:, None, :503], ((0, 0), (0, 0), (0, 9))),
+                    (1, 1, b16),
                 )  # layout-agnostic per-position max: any packing works
                 p_fb16 = jax.jit(
                     lambda pg_, xb_: jnp.sum(jax.grad(

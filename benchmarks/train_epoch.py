@@ -42,7 +42,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    n_nodes, n_edges, folds = 24041, 700_000, 10
+    n_nodes, n_edges = 24041, 700_000
+    folds_arg = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    folds = folds_arg
     n_epochs = 8
     ppi, feats, loc, label_list = synthetic_dataset(
         n_nodes=n_nodes, n_edges=n_edges, seed=70, feature_dims=(3, 250, 250))
