@@ -183,6 +183,26 @@ def _spmm_fwd_kernel(
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    def idx_copies(c, b):
+        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
+        # covering [base, base + T_E) into double buffer b
+        aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
+        return (
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_src.at[b], idx_sems.at[b, 0]),
+            pltpu.make_async_copy(
+                dstl_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_dstl.at[b], idx_sems.at[b, 1]),
+        )
+
+    # prefetch chunk 0's window while the accumulators initialize
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in idx_copies(0, 0):
+            cp.start()
+
     ident = _NEG if reduce == "max" else 0.0
     acc[...] = jnp.full(acc.shape, ident, acc.dtype)
     if with_argmax:
@@ -200,30 +220,26 @@ def _spmm_fwd_kernel(
     def chunk_body(c, _):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
-        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
-        # covering [base, base + T_E) and index with the in-window offset
-        aligned = (base // T_E) * T_E
-        off = base - aligned
+        bsel = c % 2
+        off = base - (base // T_E) * T_E
+        for cp in idx_copies(c, bsel):
+            cp.wait()
+        # prefetch the NEXT chunk's index window behind this chunk's edge
+        # DMAs (each boundary otherwise drains the pipeline for the fetch)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in idx_copies(c + 1, 1 - bsel):
+                cp.start()
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_src[off + gi * G + j]).start()
+                edge_dma(slot, j, idx_src[bsel, off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             # one wait retires the slot's G copies (byte-counting semaphore)
             pltpu.make_async_copy(
                 x_hbm.at[pl.ds(0, G * sub)], ring.at[slot], sems.at[slot]
             ).wait()
-        cp_s = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_src, idx_sems.at[0])
-        cp_d = pltpu.make_async_copy(
-            dstl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_dstl, idx_sems.at[1])
-        cp_s.start()
-        cp_d.start()
-        cp_s.wait()
-        cp_d.wait()
 
         def warm(gi, _):
             start_group(gi, gi % NG)
@@ -234,7 +250,7 @@ def _spmm_fwd_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            d = idx_dstl[off + gi * G]
+            d = idx_dstl[bsel, off + gi * G]
 
             @pl.when(d < r)
             def _():
@@ -270,7 +286,8 @@ def _spmm_fwd_kernel(
                                 ring[slot, pl.ds(j * sub, sub), :]
                                 .astype(jnp.float32) == m32
                             )
-                            ag = jnp.where(hit, idx_src[off + gi * G + j], ag)
+                            ag = jnp.where(
+                                hit, idx_src[bsel, off + gi * G + j], ag)
                         upd = m32 > cur.astype(jnp.float32)
                         cur_arg = argacc[pl.ds(d8, sub), :]
                         argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
@@ -377,10 +394,10 @@ def _run_spmm(
             pltpu.VMEM((r * sub, lane), jnp.int32)
             if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
             pltpu.VMEM((NG, G * sub, lane), dt),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     fn = pl.pallas_call(
@@ -420,6 +437,24 @@ def _masked_bwd_kernel(
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    def idx_copies(c, b):
+        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
+        aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
+        return (
+            pltpu.make_async_copy(
+                dst_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_dst.at[b], idx_sems.at[b, 0]),
+            pltpu.make_async_copy(
+                srcl_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_srcl.at[b], idx_sems.at[b, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in idx_copies(0, 0):
+            cp.start()
+
     acc[...] = jnp.zeros(acc.shape, jnp.float32)
     base_node = i * r
     lane = acc.shape[1]
@@ -434,28 +469,24 @@ def _masked_bwd_kernel(
     def chunk_body(c, _):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
-        # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
-        aligned = (base // T_E) * T_E
-        off = base - aligned
+        bsel = c % 2
+        off = base - (base // T_E) * T_E
+        for cp in idx_copies(c, bsel):
+            cp.wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in idx_copies(c + 1, 1 - bsel):
+                cp.start()
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
+                edge_dma(slot, j, idx_dst[bsel, off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             pltpu.make_async_copy(
                 ga_hbm.at[pl.ds(0, G * 8)], ring.at[slot], sems.at[slot]
             ).wait()
-        cp_s = pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_dst, idx_sems.at[0])
-        cp_d = pltpu.make_async_copy(
-            srcl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_srcl, idx_sems.at[1])
-        cp_s.start()
-        cp_d.start()
-        cp_s.wait()
-        cp_d.wait()
 
         def warm(gi, _):
             start_group(gi, gi % NG)
@@ -466,7 +497,7 @@ def _masked_bwd_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            sl = idx_srcl[off + gi * G]
+            sl = idx_srcl[bsel, off + gi * G]
 
             @pl.when(sl < r)
             def _():
@@ -540,6 +571,23 @@ def _masked_bwd16_kernel(
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    def idx_copies(c, b):
+        aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
+        return (
+            pltpu.make_async_copy(
+                dst_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_dst.at[b], idx_sems.at[b, 0]),
+            pltpu.make_async_copy(
+                srcl_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_srcl.at[b], idx_sems.at[b, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in idx_copies(0, 0):
+            cp.start()
+
     acc[...] = jnp.zeros(acc.shape, jnp.float32)
     base_node = i * r
     lane = acc.shape[1]
@@ -554,27 +602,24 @@ def _masked_bwd16_kernel(
     def chunk_body(c, _):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
-        aligned = (base // T_E) * T_E
-        off = base - aligned
+        bsel = c % 2
+        off = base - (base // T_E) * T_E
+        for cp in idx_copies(c, bsel):
+            cp.wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in idx_copies(c + 1, 1 - bsel):
+                cp.start()
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
+                edge_dma(slot, j, idx_dst[bsel, off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             pltpu.make_async_copy(
                 ga_hbm.at[pl.ds(0, G * sub)], ring.at[slot], sems.at[slot]
             ).wait()
-        cp_s = pltpu.make_async_copy(
-            dst_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_dst, idx_sems.at[0])
-        cp_d = pltpu.make_async_copy(
-            srcl_hbm.at[pl.ds(pl.multiple_of(aligned, T_E), 2 * T_E)],
-            idx_srcl, idx_sems.at[1])
-        cp_s.start()
-        cp_d.start()
-        cp_s.wait()
-        cp_d.wait()
 
         def warm(gi, _):
             start_group(gi, gi % NG)
@@ -585,7 +630,7 @@ def _masked_bwd16_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            sl = idx_srcl[off + gi * G]
+            sl = idx_srcl[bsel, off + gi * G]
 
             @pl.when(sl < r)
             def _():
@@ -672,10 +717,10 @@ def _run_masked_bwd16(
         scratch_shapes=[
             pltpu.VMEM((r * 16, lane), jnp.float32),
             pltpu.VMEM((NG, G * 16, 2 * lane), jnp.int16),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     fn = pl.pallas_call(
@@ -745,10 +790,10 @@ def _run_masked_bwd(
         scratch_shapes=[
             pltpu.VMEM((r * 8, lane), jnp.float32),
             pltpu.VMEM((NG, G * 8, lane + arg_lane), jnp.float32),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
-            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((2, 2 * T_E), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     fn = pl.pallas_call(
