@@ -330,6 +330,59 @@ def init_fold_params_from_keys(keys, cfg, in_feats: int):
     return jax.vmap(lambda k: init_fn(k, in_feats, cfg.hidden[0], cfg.num_classes))(keys)
 
 
+def _checkpoint_fingerprint(cfg: "TrainConfig") -> dict:
+    """Config fields a mid-round checkpoint depends on.
+
+    The chunk files are keyed ``ckpt_a{a_i}_j{c0}.pkl``: fold_batch changes
+    the (round, fold)→chunk mapping AND the batch width of every saved leaf;
+    epoch_num/alpha_list change the chunk offsets and job list; spmm_impl/
+    agg_dtype change the numerical trajectory; seed/lr/fold_num change the
+    params the state continues from.  Resuming across any of these would load
+    mismatched state or silently diverge — refuse instead."""
+    from ..utils.precision import aggregation_dtype
+
+    agg = aggregation_dtype()
+    return {
+        "fold_batch": int(cfg.fold_batch),
+        "epoch_num": int(cfg.epoch_num),
+        "alpha_list": tuple(float(a) for a in cfg.alpha_list),
+        "fold_num": int(cfg.fold_num),
+        "fold_seeds": tuple(int(s) for s in cfg.fold_seeds),
+        "spmm_impl": str(cfg.spmm_impl),
+        "agg_dtype": "bfloat16" if agg is not None else "float32",
+        "seed": int(cfg.seed),
+        "lr": float(cfg.lr),
+        "model": str(cfg.model),
+        "hidden": tuple(int(h) for h in cfg.hidden),
+    }
+
+
+def _check_checkpoint_config(ck_file: str, saved: Optional[dict],
+                             current: dict) -> None:
+    if saved is None:
+        raise ValueError(
+            f"checkpoint {ck_file} predates config fingerprinting and cannot "
+            "be verified against the current run configuration; delete it to "
+            "restart this job chunk from epoch 0"
+        )
+    diffs = {k: (saved.get(k), current[k]) for k in current
+             if _norm(saved.get(k)) != _norm(current[k])}
+    if diffs:
+        detail = "; ".join(
+            f"{k}: checkpoint={s!r} vs current={c!r}" for k, (s, c) in diffs.items()
+        )
+        raise ValueError(
+            f"checkpoint {ck_file} was written under a different run "
+            f"configuration ({detail}); resuming would load mismatched state "
+            "or silently diverge — rerun with the original flags, or delete "
+            "the checkpoint to restart this job chunk from epoch 0"
+        )
+
+
+def _norm(v):
+    return tuple(v) if isinstance(v, (list, tuple)) else v
+
+
 _TPLT = (
     "{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t"
     "{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t{:.2f}%({:<6})\t"
@@ -455,6 +508,7 @@ def train(
             )
 
     ck_every = int(cfg.checkpoint_every or 0)
+    ck_cfg = _checkpoint_fingerprint(cfg)
     for a_i, alpha in enumerate(cfg.alpha_list):
         jobs = [
             (round_idx, f + 1, tr_np[f], va_np[f])
@@ -483,6 +537,7 @@ def train(
             history = None
             if ck_every and cfg.resume and os.path.exists(ck_file):
                 st = load_state(ck_file)
+                _check_checkpoint_config(ck_file, st.get("config"), ck_cfg)
                 params = jax.tree.map(jnp.asarray, st["params"])
                 opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
                 done = int(st["epochs_done"])
@@ -509,6 +564,7 @@ def train(
                         "opt_state": opt_state,
                         "epochs_done": done,
                         "history": history,
+                        "config": ck_cfg,
                     })
                 if cfg.chunk_callback is not None:
                     cfg.chunk_callback(chunk[0][0], alpha, c0, done)

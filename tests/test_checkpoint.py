@@ -54,11 +54,13 @@ def _tiny_train(tmp_dir, **cfg_kw):
         ppi, add_self_loops=True, widths=(4, 16, 64),
         node_multiple=16, edge_multiple=64,
     )
-    cfg = TrainConfig(
+    kw = dict(
         lr=1e-3, fold_num=2, epoch_num=5, fold_batch=2,
         fold_seeds=(12,), hidden=(13, 9, 7, 5), compute_auc=False,
-        verbose=False, **cfg_kw,
+        verbose=False,
     )
+    kw.update(cfg_kw)
+    cfg = TrainConfig(**kw)
     feats_p = pad_features(feats, graph.n_nodes)
     labels_p = pad_features(loc, graph.n_nodes)
     train(graph, feats_p, labels_p, label_list, loc, cfg, str(tmp_dir) + "/")
@@ -106,6 +108,69 @@ def test_kill_resume_mid_round(tmp_path):
     for f in ref:
         np.testing.assert_allclose(got[f], ref[f], rtol=1e-6, atol=1e-7)
     assert not [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
+
+
+def test_resume_refuses_config_drift(tmp_path):
+    """Resuming a mid-round checkpoint under a different fold_batch (which
+    changes chunk offsets and every saved leaf's batch width) must refuse
+    loudly instead of loading mismatched state (VERDICT r2 weak #4)."""
+    import pytest as _pytest
+
+    boom_dir = tmp_path / "crashy"
+    calls = []
+
+    def bomb(round_idx, alpha, start, done):
+        calls.append(done)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash")
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _tiny_train(boom_dir, checkpoint_every=2, chunk_callback=bomb)
+    assert [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
+
+    # fold_batch drift: the checkpoint at chunk key j0 was written for a
+    # 2-wide batch; fold_batch=1 maps the same key to a 1-wide chunk.
+    with _pytest.raises(ValueError, match="different run configuration"):
+        _tiny_train(boom_dir, checkpoint_every=2, fold_batch=1)
+
+    # epoch_num drift changes chunk offsets — also refused.
+    with _pytest.raises(ValueError, match="different run configuration"):
+        _tiny_train(boom_dir, checkpoint_every=2, epoch_num=7)
+
+    # matching config resumes cleanly and matches the uninterrupted run.
+    ref = _tiny_train(tmp_path / "plain")
+    got = _tiny_train(boom_dir, checkpoint_every=2)
+    assert set(got) == set(ref)
+    for f in ref:
+        np.testing.assert_allclose(got[f], ref[f], rtol=1e-6, atol=1e-7)
+
+
+def test_resume_refuses_unfingerprinted_checkpoint(tmp_path):
+    """Pre-fingerprint checkpoints (no 'config' key) cannot be verified —
+    refuse with a clear message instead of guessing."""
+    import pickle
+
+    import pytest as _pytest
+
+    boom_dir = tmp_path / "crashy"
+    calls = []
+
+    def bomb(round_idx, alpha, start, done):
+        calls.append(done)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash")
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _tiny_train(boom_dir, checkpoint_every=2, chunk_callback=bomb)
+    cks = [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
+    ck = os.path.join(boom_dir, cks[0])
+    with open(ck, "rb") as f:
+        st = pickle.load(f)
+    del st["config"]
+    with open(ck, "wb") as f:
+        pickle.dump(st, f)
+    with _pytest.raises(ValueError, match="predates config fingerprinting"):
+        _tiny_train(boom_dir, checkpoint_every=2)
 
 
 def test_cross_round_fold_batching_invariant(tmp_path):
