@@ -4,13 +4,25 @@ Headline metric per BASELINE.json: segment-max SpMM forward+backward
 throughput on the full-batch PPI graph (24,041 nodes, ~724k directed edges
 incl. self-loops, 503-dim features — main.py:40, utils.py:46-49 scale),
 aggregated over the 10-fold CV ensemble that constitutes the real workload
-(train.py:162-195).  Two implementations are measured and the best wins:
+(train.py:162-195).  Three implementations are measured and the best wins:
 
 * XLA bucketed-ELL path (per-fold),
-* Pallas fold-batched grouped-CSR kernels (one DMA per edge for all folds).
+* Pallas fold-batched grouped-CSR kernels (f32, one DMA per edge for all
+  folds),
+* Pallas bf16 message mode at the fold batch that amortizes the scalar-core
+  DMA-issue floor (B=24).
 
-``vs_baseline`` is the fraction of speed-of-light HBM bandwidth
-(2·F·4 bytes per edge per fold, fwd gather + argmax-routed bwd).
+SOL accounting is per-path-honest: every path carries its own measured
+bytes-of-read-traffic per edge-fold (fwd row gather + fused bwd grad/argmax
+row), and ``vs_baseline`` is the winner's fraction of the nominal-HBM-
+bandwidth ceiling at ITS OWN bytes/edge.  ``vs_f32_sol`` keeps the legacy
+2·F·4-bytes ratio for cross-round comparability.
+
+Resilience: the remote-TPU compile service intermittently fails (HTTP 500);
+every compile+warm is wrapped in a retry loop with exponential backoff, and
+all programs are compiled in a warming pass BEFORE the timed section.  The
+benchmark exits nonzero only when the pallas fwd+bwd path is still down
+after retries (the loud-degraded contract from round 1).
 
 Prints exactly ONE JSON line to stdout; details go to stderr.
 Timing note: ``block_until_ready`` is unreliable through the remote-TPU
@@ -37,6 +49,8 @@ HBM_BYTES_PER_SEC = {
 }
 
 FOLDS = 10
+B16 = 24            # bf16 fold batch at the measured throughput plateau
+F_DIM = 503
 
 
 def detect_bw(device_kind: str) -> float:
@@ -50,12 +64,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync_scalar(x) -> float:
+    """Force execution through the tunnel: device→host scalar transfer."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def warm_with_retry(label, warm_fn, attempts=4, backoff=20.0,
+                    sleep=time.sleep):
+    """Compile + warm one program, retrying transient compile failures.
+
+    The remote-compile service 500s intermittently (round 2's official
+    capture lost a demonstrated 165-173 M number to a single transient
+    failure); compiles are deterministic, so a retry with backoff recovers
+    unless the service is down for good.  Returns True when the program is
+    warm, False when every attempt failed."""
+    for k in range(attempts):
+        try:
+            warm_fn()
+            return True
+        except Exception as e:
+            log(f"{label}: compile/warm attempt {k + 1}/{attempts} failed: "
+                f"{str(e)[:300]}")
+            if k + 1 < attempts:
+                delay = backoff * (2 ** k)
+                log(f"{label}: retrying in {delay:.0f}s")
+                sleep(delay)
+    return False
+
+
 def timed(fn, *args, reps):
-    float(np.asarray(fn(*args)).ravel()[0])  # compile/warm + real sync
+    sync_scalar(fn(*args))  # already warm; one sync to drain the pipe
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(*args)
-    float(np.asarray(r).ravel()[0])
+    sync_scalar(r)
     return (time.perf_counter() - t0) / reps
 
 
@@ -74,7 +116,7 @@ def main():
     on_tpu = dev.platform != "cpu"
     n_nodes = 24041 if on_tpu else 1024
     n_edges = 700_000 if on_tpu else 8_192
-    f_dim = 503
+    f_dim = F_DIM
 
     log(f"device: {dev} ({kind}); graph: {n_nodes} nodes, {n_edges} edges, F={f_dim}")
 
@@ -85,6 +127,14 @@ def main():
     e_real = graph.n_edges
     x = jnp.asarray(pad_features(feats, graph.n_nodes))
     reps = 10 if on_tpu else 2
+    bw = detect_bw(kind)
+
+    # Headline candidates: (name, fn, args, folds, bytes/edge-fold, dtype).
+    # bytes/edge-fold = per-edge DMA *read* traffic for fwd gather + fused
+    # bwd grad/argmax row, divided by the fold batch (output writes are
+    # amortized per node, ~E/N=30x smaller, and excluded — so the computed
+    # ceiling is optimistic and the reported ratio conservative).
+    candidates = []
 
     # --- XLA path: single-fold SpMM fwd+bwd -------------------------------
     spmm_fb = jax.jit(
@@ -92,14 +142,13 @@ def main():
             jax.grad(lambda xx: jnp.sum(spmm_max(graph, xx) ** 2))(x)
         )
     )
-    dt = timed(spmm_fb, graph, x, reps=reps)
-    xla_eps = e_real / dt
-    log(f"XLA spmm fwd+bwd (1 fold): {dt*1e3:.2f} ms → {xla_eps/1e6:.1f} M edges/s")
-    best_eps = xla_eps
-    best_name = "xla_per_fold"
+    candidates.append({
+        "name": "xla_per_fold",
+        "fn": spmm_fb, "args": (graph, x), "folds": 1,
+        "bytes_per_edge": 2 * f_dim * 4, "dtype": "float32",
+    })
 
-    # --- Pallas fold-batched path ------------------------------------------
-    pallas_ok = False
+    pallas_built = False
     if on_tpu:
         try:
             from plagnn_tpu.ops.pallas.spmm_kernels import (
@@ -108,62 +157,96 @@ def main():
 
             src = np.asarray(graph.src)[:e_real]
             dst = np.asarray(graph.dst)[:e_real]
+
+            # --- Pallas f32 fold-batched fwd+bwd (B=10) -------------------
             pg = build_pallas_graph(src, dst, graph.n_nodes)
             xb = jnp.broadcast_to(
-                x[:, None, :503], (graph.n_nodes, FOLDS, 503)
+                x[:, None, :f_dim], (graph.n_nodes, FOLDS, f_dim)
             )
-            xb = jnp.pad(xb, ((0, 0), (0, 0), (0, 512 - 503)))
+            xb = jnp.pad(xb, ((0, 0), (0, 0), (0, 512 - f_dim)))
+            stride = FOLDS * 512
+            lane = stride // 8
+            arg_lane = max(-(-(lane // 2) // 128) * 128, 128)
+            p_fb = jax.jit(
+                lambda pg_, xb_: jnp.sum(jax.grad(
+                    lambda xx: jnp.sum(pallas_spmm_max(pg_, xx) ** 2)
+                )(xb_))
+            )
+            candidates.append({
+                "name": "pallas_fold_batched",
+                "fn": p_fb, "args": (pg, xb), "folds": FOLDS,
+                # fwd row: stride f32; bwd fused row: 8·(lane+arg_lane) f32
+                "bytes_per_edge": (stride * 4 + 8 * (lane + arg_lane) * 4)
+                // FOLDS,
+                "dtype": "float32",
+            })
+
+            # --- Pallas f32 fwd-only (diagnostic, not a headline) ---------
             p_fwd = jax.jit(
                 lambda pg_, xb_: jnp.sum(pallas_spmm_max(pg_, xb_)))
-            dtf = timed(p_fwd, pg, xb, reps=reps)
-            log(f"pallas fwd (B={FOLDS}): {dtf*1e3:.2f} ms → "
-                f"{FOLDS*e_real/dtf/1e6:.1f} M edge-folds/s")
-            try:
-                p_fb = jax.jit(
-                    lambda pg_, xb_: jnp.sum(jax.grad(
-                        lambda xx: jnp.sum(pallas_spmm_max(pg_, xx) ** 2)
-                    )(xb_))
-                )
-                dtb = timed(p_fb, pg, xb, reps=reps)
-                p_eps = FOLDS * e_real / dtb
-                log(f"pallas fwd+bwd (B={FOLDS}): {dtb*1e3:.2f} ms → "
-                    f"{p_eps/1e6:.1f} M edge-folds/s")
-                if p_eps > best_eps:
-                    best_eps, best_name = p_eps, "pallas_fold_batched"
-                pallas_ok = True
-            except Exception as e:
-                log(f"pallas fwd+bwd unavailable: {str(e)[:160]}")
+            candidates.append({
+                "name": "pallas_fwd_only",
+                "fn": p_fwd, "args": (pg, xb), "folds": FOLDS,
+                "bytes_per_edge": stride * 4 // FOLDS, "dtype": "float32",
+                "diagnostic": True,
+            })
 
-            # bf16 message mode at the fold batch that amortizes the
-            # scalar-core DMA-issue floor (B=24, stride 12288): halves the
-            # bytes of every edge DMA; max is exact over the rounded inputs
-            # and the backward fuses bf16 grads + int16 argmax lanes.
-            try:
-                b16, s16 = 24, 24 * 512
-                rpb16 = pick_rows_per_block(graph.n_nodes, s16)
-                pg16 = build_pallas_graph(src, dst, graph.n_nodes, rpb16)
-                xb16 = jnp.tile(
-                    jnp.pad(x[:, None, :503], ((0, 0), (0, 0), (0, 9))),
-                    (1, 1, b16),
-                )  # layout-agnostic per-position max: any packing works
-                p_fb16 = jax.jit(
-                    lambda pg_, xb_: jnp.sum(jax.grad(
-                        lambda xx: jnp.sum(
-                            pallas_spmm_max(
-                                pg_, xx.astype(jnp.bfloat16)
-                            ).astype(jnp.float32) ** 2)
-                    )(xb_))
-                )
-                dtb16 = timed(p_fb16, pg16, xb16, reps=reps)
-                p16_eps = b16 * e_real / dtb16
-                log(f"pallas bf16 fwd+bwd (B={b16}): {dtb16*1e3:.2f} ms → "
-                    f"{p16_eps/1e6:.1f} M edge-folds/s")
-                if p16_eps > best_eps:
-                    best_eps, best_name = p16_eps, "pallas_bf16_fold_batched"
-            except Exception as e:
-                log(f"pallas bf16 path unavailable: {str(e)[:200]}")
+            # --- Pallas bf16 fwd+bwd at B=24 (stride 12288) ---------------
+            # bf16 halves the bytes of every edge DMA; max is exact over the
+            # rounded inputs and the backward fuses bf16 grads + int16
+            # argmax lanes at equal width.
+            s16 = B16 * 512
+            rpb16 = pick_rows_per_block(graph.n_nodes, s16)
+            pg16 = build_pallas_graph(src, dst, graph.n_nodes, rpb16)
+            xb16 = jnp.tile(
+                jnp.pad(x[:, None, :f_dim], ((0, 0), (0, 0), (0, 9))),
+                (1, 1, B16),
+            )  # layout-agnostic per-position max: any packing works
+            p_fb16 = jax.jit(
+                lambda pg_, xb_: jnp.sum(jax.grad(
+                    lambda xx: jnp.sum(
+                        pallas_spmm_max(
+                            pg_, xx.astype(jnp.bfloat16)
+                        ).astype(jnp.float32) ** 2)
+                )(xb_))
+            )
+            lane16 = s16 // 16
+            candidates.append({
+                "name": "pallas_bf16_fold_batched",
+                "fn": p_fb16, "args": (pg16, xb16), "folds": B16,
+                # fwd row: stride bf16; bwd fused row: 16·(2·lane16) int16
+                "bytes_per_edge": (s16 * 2 + 16 * 2 * lane16 * 2) // B16,
+                "dtype": "bfloat16",
+            })
+            pallas_built = True
         except Exception as e:
-            log(f"pallas path unavailable: {str(e)[:160]}")
+            log(f"pallas path construction failed: {str(e)[:300]}")
+
+    # --- Cache-warming pass: compile EVERYTHING before the timed section --
+    warm = {}
+    for c in candidates:
+        warm[c["name"]] = warm_with_retry(
+            c["name"], lambda c=c: sync_scalar(c["fn"](*c["args"])))
+    pallas_ok = any(
+        warm.get(n) for n in ("pallas_fold_batched", "pallas_bf16_fold_batched")
+    )
+
+    # --- Timed section -----------------------------------------------------
+    best = None
+    for c in candidates:
+        if not warm[c["name"]]:
+            continue
+        dt = timed(c["fn"], *c["args"], reps=reps)
+        eps = c["folds"] * e_real / dt
+        own_sol = bw / c["bytes_per_edge"]
+        log(f"{c['name']} (B={c['folds']}): {dt*1e3:.2f} ms → "
+            f"{eps/1e6:.1f} M edge-folds/s "
+            f"({c['bytes_per_edge']} B/edge-fold, own SOL {own_sol/1e6:.1f} M "
+            f"→ {eps/own_sol:.3f})")
+        if c.get("diagnostic"):
+            continue
+        if best is None or eps > best["eps"]:
+            best = dict(c, eps=eps)
 
     # --- full training epoch (fwd + loss + bwd + adam), single fold --------
     import optax
@@ -189,12 +272,15 @@ def main():
         _, _, loss = epoch(graph, params, opt_state)
         return loss
 
-    dte = timed(epoch_scalar, graph, params, opt_state, reps=reps)
-    log(f"GNN32 full-batch epoch (1 fold, XLA): {dte*1e3:.2f} ms")
+    if warm_with_retry(
+        "gnn32_epoch", lambda: sync_scalar(epoch_scalar(graph, params, opt_state))
+    ):
+        dte = timed(epoch_scalar, graph, params, opt_state, reps=reps)
+        log(f"GNN32 full-batch epoch (1 fold, XLA): {dte*1e3:.2f} ms")
 
     # --- fold-batched training epoch via pallas aggregation (the real
     # workload shape: all 10 CV folds advance together) -----------------
-    if on_tpu:
+    if on_tpu and pallas_built:
         try:
             from plagnn_tpu.models.batched import gnn32_apply_batched
             from plagnn_tpu.ops.pallas.spmm_kernels import (
@@ -228,24 +314,37 @@ def main():
             def epoch_b_scalar(pgb, pb, ob):
                 return epoch_b(pgb, pb, ob)[2]
 
-            dtb10 = timed(epoch_b_scalar, pgb, pb, ob, reps=reps)
-            log(f"GNN32 fold-batched epoch (B={FOLDS}, pallas): "
-                f"{dtb10*1e3:.2f} ms ({dtb10/FOLDS*1e3:.2f} ms/fold-epoch)")
+            if warm_with_retry(
+                "gnn32_fold_batched_epoch",
+                lambda: sync_scalar(epoch_b_scalar(pgb, pb, ob)),
+            ):
+                dtb10 = timed(epoch_b_scalar, pgb, pb, ob, reps=reps)
+                log(f"GNN32 fold-batched epoch (B={FOLDS}, pallas): "
+                    f"{dtb10*1e3:.2f} ms ({dtb10/FOLDS*1e3:.2f} ms/fold-epoch)")
         except Exception as ex:
-            log(f"fold-batched epoch unavailable: {str(ex)[:200]}")
+            log(f"fold-batched epoch unavailable: {str(ex)[:300]}")
 
     # --- speed-of-light comparison -----------------------------------------
-    bytes_per_edge = 2 * (f_dim * 4)
-    sol = detect_bw(kind) / bytes_per_edge
-    vs = best_eps / sol
-    log(f"best: {best_name} at {best_eps/1e6:.1f} M edge(-fold)s/s; "
-        f"SOL {sol/1e6:.1f} M/s → {vs:.3f}")
+    # vs_baseline: winner's fraction of nominal HBM bandwidth at its OWN
+    # bytes/edge-fold.  vs_f32_sol: legacy 2·F·4-bytes ratio (round-1/2
+    # JSONs used this basis) for cross-round comparability.
+    f32_sol = bw / (2 * f_dim * 4)
+    own_sol = bw / best["bytes_per_edge"]
+    vs_own = best["eps"] / own_sol
+    vs_f32 = best["eps"] / f32_sol
+    log(f"best: {best['name']} at {best['eps']/1e6:.1f} M edge(-fold)s/s; "
+        f"own SOL {own_sol/1e6:.1f} M → {vs_own:.3f} "
+        f"(legacy f32-bytes SOL {f32_sol/1e6:.1f} M → {vs_f32:.3f})")
 
     result = {
         "metric": "spmm_max_fwd_bwd_edges_per_sec_per_chip",
-        "value": round(best_eps, 1),
+        "value": round(best["eps"], 1),
         "unit": "edges/s",
-        "vs_baseline": round(vs, 4),
+        "vs_baseline": round(vs_own, 4),
+        "vs_f32_sol": round(vs_f32, 4),
+        "bytes_per_edge": int(best["bytes_per_edge"]),
+        "dtype": best["dtype"],
+        "winner": best["name"],
     }
     if on_tpu and not pallas_ok:
         # The production fast path regressed: refuse to let the XLA
@@ -253,7 +352,7 @@ def main():
         # driver/CI flags it; the JSON still records what DID run).
         result["degraded"] = "pallas_path_failed"
         print(json.dumps(result))
-        log("FAIL: pallas fold-batched path did not run on TPU")
+        log("FAIL: pallas fold-batched path did not run on TPU after retries")
         sys.exit(1)
     print(json.dumps(result))
 
