@@ -68,6 +68,33 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--pallas-interpret", action="store_true",
                    help="run the pallas kernels in interpret mode (CPU "
                         "verification of the --spmm pallas path)")
+    p.add_argument("--mesh", default="fold=1,graph=1",
+                   help="multi-chip mesh 'fold=F,graph=P': P chips "
+                        "edge-partition the graph (halo all_to_all per "
+                        "layer), F groups data-parallelize the fold "
+                        "ensemble; needs F*P devices and fold-batch %% F "
+                        "== 0 (default: single chip)")
+
+
+def parse_mesh(spec: str):
+    """'fold=F,graph=P' (either key optional) → (mesh_fold, mesh_graph)."""
+    vals = {"fold": 1, "graph": 1}
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            k, v = part.split("=")
+            vals[k.strip()] = int(v)
+        except (ValueError, KeyError):
+            raise SystemExit(
+                f"invalid --mesh {spec!r}: expected 'fold=F,graph=P'")
+        if k.strip() not in ("fold", "graph"):
+            raise SystemExit(
+                f"invalid --mesh {spec!r}: unknown axis {k.strip()!r}")
+    if vals["fold"] < 1 or vals["graph"] < 1:
+        raise SystemExit(f"invalid --mesh {spec!r}: sizes must be >= 1")
+    return vals["fold"], vals["graph"]
 
 
 def _train(args, condition: str):
@@ -97,6 +124,7 @@ def _train(args, condition: str):
                 args.lr, args.f, args.e, list(map(float, args.a)), args.d
             )
         )
+    mesh_fold, mesh_graph = parse_mesh(args.mesh)
     cfg = TrainConfig(
         lr=args.lr,
         fold_num=args.f,
@@ -110,6 +138,8 @@ def _train(args, condition: str):
         checkpoint_every=args.checkpoint_every,
         spmm_impl=args.spmm,
         pallas_interpret=args.pallas_interpret,
+        mesh_fold=mesh_fold,
+        mesh_graph=mesh_graph,
     )
     train(
         bundle.graph,

@@ -71,6 +71,13 @@ class TrainConfig:
     # after every chunk (progress reporting / fault-injection tests).
     checkpoint_every: int = 0
     chunk_callback: Optional[callable] = None
+    # Multi-chip mesh (production edge-partitioned training, SURVEY §7 step
+    # 6): mesh_graph chips partition the graph by destination blocks (halo
+    # all_to_all per layer), mesh_fold groups data-parallelize the fold
+    # ensemble.  1x1 = single chip (the runners above).  fold_batch must be
+    # a multiple of mesh_fold.
+    mesh_graph: int = 1
+    mesh_fold: int = 1
 
 
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
@@ -354,6 +361,8 @@ def _checkpoint_fingerprint(cfg: "TrainConfig") -> dict:
         "lr": float(cfg.lr),
         "model": str(cfg.model),
         "hidden": tuple(int(h) for h in cfg.hidden),
+        "mesh": (int(getattr(cfg, "mesh_fold", 1)),
+                 int(getattr(cfg, "mesh_graph", 1))),
     }
 
 
@@ -432,7 +441,45 @@ def train(
     v_max = -(-len(label_indices) // max(cfg.fold_num, 1))
     val_width = min(((v_max + 7) // 8) * 8, graph.n_nodes)
 
-    if cfg.spmm_impl == "pallas":
+    n_mesh = int(cfg.mesh_graph) * int(cfg.mesh_fold)
+    if n_mesh > 1:
+        # Production multi-chip path: destination-block graph partition +
+        # fold data-parallel ensemble over a ('fold', 'graph') mesh.
+        from ..parallel import make_mesh, partition_graph
+        from ..parallel.sharded import make_sharded_fold_runner
+
+        assert cfg.fold_batch % cfg.mesh_fold == 0, (
+            f"fold_batch {cfg.fold_batch} must be a multiple of "
+            f"mesh_fold {cfg.mesh_fold}"
+        )
+        e = graph.n_edges
+        src_np = np.asarray(graph.src)[:e]   # self-loops already included
+        dst_np = np.asarray(graph.dst)[:e]
+        rpb = None
+        if cfg.spmm_impl == "pallas":
+            from ..models.batched import packed_stride
+            from ..ops.pallas.spmm_kernels import pick_rows_per_block_budget
+            from ..utils.precision import aggregation_dtype
+
+            align = 2048 if aggregation_dtype() is not None else 1024
+            b_local = cfg.fold_batch // cfg.mesh_fold
+            stride = max(
+                packed_stride(b_local, f, align)
+                for f in (in_feats, cfg.hidden[0], cfg.hidden[1])
+            )
+            rpb = pick_rows_per_block_budget(stride)
+        pgraph = partition_graph(
+            src_np, dst_np, graph.n_real_nodes, n_chips=cfg.mesh_graph,
+            add_self_loops=False, pallas_rows_per_block=rpb,
+        )
+        mesh = make_mesh(n_graph=cfg.mesh_graph, n_fold=cfg.mesh_fold)
+        run, tx = make_sharded_fold_runner(
+            mesh, pgraph,
+            np.asarray(feats)[:graph.n_real_nodes],
+            np.asarray(labels)[:graph.n_real_nodes],
+            class_weight, cfg, val_width=val_width,
+        )
+    elif cfg.spmm_impl == "pallas":
         from ..models.batched import packed_stride
         from ..ops.pallas.spmm_kernels import build_pallas_graph
         from ..ops.pallas.spmm_kernels import pick_rows_per_block
@@ -518,17 +565,23 @@ def train(
         for c0 in range(0, len(jobs), cfg.fold_batch):
             chunk = jobs[c0:c0 + cfg.fold_batch]
             nb = len(chunk)
+            # The sharded runner shards the fold batch over the mesh's fold
+            # axis; pad a partial final chunk to a multiple of it by
+            # repeating jobs (duplicates burn a little compute; outputs for
+            # them are never read — the artifact loop iterates `chunk`).
+            pad_n = (-nb) % cfg.mesh_fold if n_mesh > 1 else 0
+            run_chunk = chunk + [chunk[i % nb] for i in range(pad_n)]
             # per-fold keys from (seed, round, fold, alpha): init is
             # invariant to fold_batch packing and to resume order
             jkeys = jnp.stack([
                 jax.random.fold_in(
                     jax.random.fold_in(jax.random.fold_in(key, r_i), f_f), a_i)
-                for r_i, f_f, _, _ in chunk
+                for r_i, f_f, _, _ in run_chunk
             ])
             params = init_fold_params_from_keys(jkeys, cfg, in_feats)
             opt_state = None  # runner-appropriate fresh init
-            tr_masks = jnp.asarray(np.stack([j[2] for j in chunk]))
-            va_masks = jnp.asarray(np.stack([j[3] for j in chunk]))
+            tr_masks = jnp.asarray(np.stack([j[2] for j in run_chunk]))
+            va_masks = jnp.asarray(np.stack([j[3] for j in run_chunk]))
 
             # Chunked epochs with mid-run checkpointing: a crash loses at
             # most checkpoint_every epochs of this job chunk.
