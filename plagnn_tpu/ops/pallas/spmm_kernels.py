@@ -197,15 +197,17 @@ def _spmm_fwd_kernel(
 
     def idx_copies(c, b):
         # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
-        # covering [base, base + T_E) into double buffer b
+        # covering [base, base + T_E) into double-buffer half b.  The SMEM
+        # buffers are 1-D (two 2*T_E halves): Mosaic tiles 2-D int32 SMEM as
+        # (2, 128) and rejects single-row dim-0 slices.
         aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
         return (
             pltpu.make_async_copy(
                 src_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_src.at[b], idx_sems.at[b, 0]),
+                idx_src.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 0]),
             pltpu.make_async_copy(
                 dstl_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_dstl.at[b], idx_sems.at[b, 1]),
+                idx_dstl.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 1]),
         )
 
     # prefetch chunk 0's window while the accumulators initialize
@@ -232,7 +234,8 @@ def _spmm_fwd_kernel(
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
-        off = base - (base // T_E) * T_E
+        # offset of this chunk's first edge within the 1-D double buffer
+        off = bsel * 2 * T_E + base - (base // T_E) * T_E
         for cp in idx_copies(c, bsel):
             cp.wait()
         # prefetch the NEXT chunk's index window behind this chunk's edge
@@ -244,7 +247,7 @@ def _spmm_fwd_kernel(
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_src[bsel, off + gi * G + j]).start()
+                edge_dma(slot, j, idx_src[off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             # one wait retires the slot's G copies (byte-counting semaphore)
@@ -261,7 +264,7 @@ def _spmm_fwd_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            d = idx_dstl[bsel, off + gi * G]
+            d = idx_dstl[off + gi * G]
 
             @pl.when(d < r)
             def _():
@@ -298,7 +301,7 @@ def _spmm_fwd_kernel(
                                 .astype(jnp.float32) == m32
                             )
                             ag = jnp.where(
-                                hit, idx_src[bsel, off + gi * G + j], ag)
+                                hit, idx_src[off + gi * G + j], ag)
                         upd = m32 > cur.astype(jnp.float32)
                         cur_arg = argacc[pl.ds(d8, sub), :]
                         argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
@@ -405,8 +408,8 @@ def _run_spmm(
             pltpu.VMEM((r * sub, lane), jnp.int32)
             if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
             pltpu.VMEM((NG, G * sub, lane), dt),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -457,14 +460,15 @@ def _masked_bwd_kernel(
 
     def idx_copies(c, b):
         # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
+        # into 1-D double-buffer half b (see _spmm_fwd_kernel.idx_copies)
         aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
         return (
             pltpu.make_async_copy(
                 dst_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_dst.at[b], idx_sems.at[b, 0]),
+                idx_dst.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 0]),
             pltpu.make_async_copy(
                 srcl_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_srcl.at[b], idx_sems.at[b, 1]),
+                idx_srcl.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 1]),
         )
 
     @pl.when(n_chunks > 0)
@@ -487,7 +491,7 @@ def _masked_bwd_kernel(
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
-        off = base - (base // T_E) * T_E
+        off = bsel * 2 * T_E + base - (base // T_E) * T_E
         for cp in idx_copies(c, bsel):
             cp.wait()
 
@@ -498,7 +502,7 @@ def _masked_bwd_kernel(
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_dst[bsel, off + gi * G + j]).start()
+                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             pltpu.make_async_copy(
@@ -514,7 +518,7 @@ def _masked_bwd_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            sl = idx_srcl[bsel, off + gi * G]
+            sl = idx_srcl[off + gi * G]
 
             @pl.when(sl < r)
             def _():
@@ -597,10 +601,10 @@ def _masked_bwd16_kernel(
         return (
             pltpu.make_async_copy(
                 dst_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_dst.at[b], idx_sems.at[b, 0]),
+                idx_dst.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 0]),
             pltpu.make_async_copy(
                 srcl_hbm.at[pl.ds(aligned, 2 * T_E)],
-                idx_srcl.at[b], idx_sems.at[b, 1]),
+                idx_srcl.at[pl.ds(b * 2 * T_E, 2 * T_E)], idx_sems.at[b, 1]),
         )
 
     @pl.when(n_chunks > 0)
@@ -623,7 +627,7 @@ def _masked_bwd16_kernel(
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
-        off = base - (base // T_E) * T_E
+        off = bsel * 2 * T_E + base - (base // T_E) * T_E
         for cp in idx_copies(c, bsel):
             cp.wait()
 
@@ -634,7 +638,7 @@ def _masked_bwd16_kernel(
 
         def start_group(gi, slot):
             for j in range(G):
-                edge_dma(slot, j, idx_dst[bsel, off + gi * G + j]).start()
+                edge_dma(slot, j, idx_dst[off + gi * G + j]).start()
 
         def wait_group(gi, slot):
             pltpu.make_async_copy(
@@ -650,7 +654,7 @@ def _masked_bwd16_kernel(
         def group_body(gi):
             slot = gi % NG
             wait_group(gi, slot)
-            sl = idx_srcl[bsel, off + gi * G]
+            sl = idx_srcl[off + gi * G]
 
             @pl.when(sl < r)
             def _():
@@ -737,8 +741,8 @@ def _run_masked_bwd16(
         scratch_shapes=[
             pltpu.VMEM((r * 16, lane), jnp.float32),
             pltpu.VMEM((NG, G * 16, 2 * lane), jnp.int16),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -816,8 +820,8 @@ def _run_masked_bwd(
         scratch_shapes=[
             pltpu.VMEM((r * 8, lane), jnp.float32),
             pltpu.VMEM((NG, G * 8, lane + arg_lane), jnp.float32),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
-            pltpu.SMEM((2, 2 * T_E), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
