@@ -136,6 +136,52 @@ def organelle_distribution(pred: np.ndarray) -> np.ndarray:
     return num / max(num.sum(), 1.0)
 
 
+def _scrape_final_counts(lines: Sequence[str]) -> list:
+    """The reference scraper's core (figure.py:147-171): from a txt_log.txt
+    body (header stripped), collect each fold block's FINAL per-organelle
+    prediction-count table row — the line right before every '-----'/'-----'
+    double separator, plus the file's last line."""
+    per_data = []
+    for i in range(len(lines)):
+        if i > (len(lines) - 3):
+            d = lines[-1].strip().split(")")[0:-1]
+            per_data.append(
+                [p.split("%")[-1].strip().split("(")[-1] for p in d])
+            break
+        first, second, third = lines[i], lines[i + 1], lines[i + 2]
+        if "-----" in second and "------" in third:
+            d = first.strip().split(")")[0:-1]
+            per_data.append(
+                [p.split("%")[-1].strip().split("(")[-1] for p in d])
+    return per_data
+
+
+def final_pred_counts(log_dir: str, alpha: str) -> np.ndarray:
+    """Per-(round, fold) final-epoch per-organelle prediction counts for one
+    alpha — the quantity the reference's fig_alpha_data averages
+    (figure.py:126-177).  Reads the engine's structured
+    ``pred_num_final`` channel in fig_data_{round}.json; falls back to
+    scraping txt_log.txt (the reference's mechanism) for runs that predate
+    it.  Returns (n_runs, 12) float."""
+    counts = []
+    for fd in sorted(glob.glob(os.path.join(log_dir, "fig_data_*.json"))):
+        with open(fd) as f:
+            data = json.load(f)
+        folds = data.get("validation", {}).get(str(alpha), {})
+        for curves in folds.values():
+            if "pred_num_final" in curves:
+                counts.append(curves["pred_num_final"])
+    if not counts:
+        txt = os.path.join(log_dir, "txt_log.txt")
+        if os.path.exists(txt):
+            with open(txt) as f:
+                lines = f.readlines()[3:]
+            counts = _scrape_final_counts(lines)
+    if not counts:
+        return np.zeros((0, 12))
+    return np.asarray(counts, np.float64)
+
+
 def fig_alpha(
     log_dir: str,
     out_path: str,
@@ -143,29 +189,23 @@ def fig_alpha(
     alphas: Sequence[str] = ("0.1",),
 ):
     """Per-organelle distribution bars + JS distance vs the label
-    distribution (figure.py:179-235), fed from fig_data JSON."""
-    rounds = sorted(glob.glob(os.path.join(log_dir, "fig_data_*.json")))
-    if not rounds:
-        return None
+    distribution — faithful to figure.py:179-235: per alpha, MEAN over all
+    (round, fold) runs of the final-epoch prediction counts, truncated to
+    int (figure.py:210 ``list(map(int, d_data))``), normalized to a
+    distribution, then Jensen-Shannon distance against the annotation
+    distribution ``loc.sum(0)/loc.sum()`` (figure.py:186-189)."""
     plt.figure(dpi=300)
     width = 0.8 / (len(alphas) + 1)
     x = np.arange(len(label_dist))
     plt.bar(x, label_dist, width, label="annotations")
     js = {}
     for ai, alpha in enumerate(alphas):
-        # mean final-epoch organelle distribution over rounds/folds from the
-        # engine's pred_num channel is not persisted per organelle in
-        # fig_data; recompute from merged logit artifacts when present.
-        merged = sorted(glob.glob(os.path.join(log_dir, "*_logits.npy")))
-        if not merged:
+        per = final_pred_counts(log_dir, alpha)
+        if per.size == 0:
             continue
-        from ..train.postprocess import protein_loc_correction_np
-
-        dist = np.zeros_like(label_dist)
-        for m in merged:
-            pred = protein_loc_correction_np(np.load(m), float(alpha))
-            dist += organelle_distribution(pred)
-        dist /= len(merged)
+        # reference pipeline: mean counts → int truncation → normalize
+        d_data = np.array([int(v) for v in per.mean(axis=0)], np.float64)
+        dist = d_data / max(d_data.sum(), 1.0)
         plt.bar(x + (ai + 1) * width, dist, width, label=f"alpha={alpha}")
         js[alpha] = float(jensenshannon(label_dist, dist))
     plt.xlabel("organelle")
@@ -173,7 +213,7 @@ def fig_alpha(
     plt.legend(loc="best")
     plt.savefig(out_path)
     plt.close()
-    return js
+    return js if js else None
 
 
 def fig_and_perf(fig_data_path: str, out_dir: str | None = None):
@@ -211,8 +251,6 @@ def fig_alpha_data_from_txt(log_root: str):
     pulls the final per-organelle prediction-count table of each fold run
     back out of txt_log.txt and averages the counts.  Kept for byte-level
     workflow compatibility; the structured path above is preferred."""
-    import re
-
     dicts = {}
     for paths in sorted(glob.glob(os.path.join(log_root, "GSE*"))):
         file_path = os.path.join(paths, "normal", "txt_log.txt")
@@ -220,22 +258,8 @@ def fig_alpha_data_from_txt(log_root: str):
             continue
         with open(file_path) as f:
             content = f.readlines()
-        content = content[3:]
-        item = os.path.basename(paths)
-        per_data = []
-        for i in range(len(content)):
-            if i > (len(content) - 3):
-                line = content[-1]
-                d = line.strip().split(")")[0:-1]
-                per_data.append(
-                    [p.split("%")[-1].strip().split("(")[-1] for p in d])
-                break
-            first, second, third = content[i], content[i + 1], content[i + 2]
-            if "-----" in second and "------" in third:
-                d = first.strip().split(")")[0:-1]
-                per_data.append(
-                    [p.split("%")[-1].strip().split("(")[-1] for p in d])
+        per_data = _scrape_final_counts(content[3:])
         if per_data:
             arr = np.array(per_data).astype(float)
-            dicts[item] = arr.mean(axis=0).tolist()
+            dicts[os.path.basename(paths)] = arr.mean(axis=0).tolist()
     return dicts

@@ -643,6 +643,13 @@ def train(
                     val_d[fold_flag]["auc_macro"] = (
                         np.asarray(history["val"]["auc_macro"][b]).astype(float).tolist()
                     )
+                # final-epoch per-organelle prediction counts — the value the
+                # reference's fig_alpha_data scrapes back out of txt_log.txt
+                # (figure.py:126-177); analysis.figures.fig_alpha consumes
+                # this structured copy instead
+                val_d[fold_flag]["pred_num_final"] = [
+                    int(v) for v in history["pred_num"][b, -1]
+                ]
 
                 logits_b = f_probs[b, :n_real]
                 np.save(

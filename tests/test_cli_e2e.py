@@ -47,7 +47,10 @@ def test_train_both_conditions(data_root, capsys):
             if isinstance(node, list):
                 yield node
             elif isinstance(node, dict):
-                for v in node.values():
+                for k, v in node.items():
+                    if k == "pred_num_final":  # 12-organelle count vector,
+                        assert len(v) == 12    # not a per-epoch curve
+                        continue
                     yield from leaf_lists(v)
 
         lens = [len(leaf) for leaf in leaf_lists(curves)]
