@@ -74,6 +74,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
                         "layer), F groups data-parallelize the fold "
                         "ensemble; needs F*P devices and fold-batch %% F "
                         "== 0 (default: single chip)")
+    p.add_argument("--no-mesh-balance", action="store_true",
+                   help="disable the balanced (degree-snake) edge partition "
+                        "and use contiguous node-id blocks (diagnostic; "
+                        "power-law graphs can be badly edge-skewed)")
 
 
 def parse_mesh(spec: str):
@@ -140,6 +144,7 @@ def _train(args, condition: str):
         pallas_interpret=args.pallas_interpret,
         mesh_fold=mesh_fold,
         mesh_graph=mesh_graph,
+        mesh_balance=not args.no_mesh_balance,
     )
     train(
         bundle.graph,

@@ -47,7 +47,8 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=["local", "interior", "boundary", "send_idx",
                  "in_degree", "out_degree", "pallas_local",
-                 "pallas_interior", "pallas_boundary"],
+                 "pallas_interior", "pallas_boundary", "row_map",
+                 "node_row"],
     meta_fields=["n_chips", "own_rows", "halo_per_peer", "n_real_nodes",
                  "n_edges"],
 )
@@ -74,6 +75,12 @@ class PartitionedGraph:
                 same local edge sets/gather space, built when
                 ``pallas_rows_per_block`` is given — the fast per-chip SpMM
                 inside the sharded step.  None otherwise.
+    row_map/node_row: balanced-partition permutation tables (None = identity
+                layout, rows [0, n_real) are node ids).  row_map (P·C,) int32
+                gives the node id stored in each global row (-1 = padding);
+                node_row (n_real,) int32 gives each node's global row.
+                Features/labels/masks shard by row_map gathers; results
+                restore to node order via node_row.
     """
 
     local: Graph
@@ -90,6 +97,8 @@ class PartitionedGraph:
     pallas_local: Optional[object] = None
     pallas_interior: Optional[object] = None
     pallas_boundary: Optional[object] = None
+    row_map: Optional[jax.Array] = None
+    node_row: Optional[jax.Array] = None
 
 
 def _stack_pallas_graphs(edge_sets, n_pad_nodes: int, rows_per_block: int):
@@ -141,6 +150,7 @@ def partition_graph(
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
     overlap: bool = True,
     pallas_rows_per_block: Optional[int] = None,
+    balance: bool = False,
 ) -> PartitionedGraph:
     """Host-side 1-D destination-block partitioner.
 
@@ -148,7 +158,16 @@ def partition_graph(
     for communication/compute overlap.  pallas_rows_per_block additionally
     builds per-chip fold-batched PallasGraph structures over the local
     gather spaces (choose it via ops.pallas.spmm_kernels.pick_rows_per_block
-    at the training stride)."""
+    at the training stride).
+
+    balance=True relabels nodes before blocking so every chip owns ~E/P
+    incoming edges: on power-law PPI topology (reference
+    data_preprocess.py:74-110) contiguous id blocks can be pathologically
+    skewed (hub ids cluster), and the SPMD barrier at the gradient psum makes
+    the WORST chip's edge count the step time.  Snake-order dealing of
+    nodes sorted by in-degree bounds the imbalance by one node's degree.
+    The permutation is recorded in row_map/node_row; shard_features and the
+    sharded runners apply it transparently."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if add_self_loops:
@@ -158,6 +177,22 @@ def partition_graph(
 
     p = n_chips
     c = _round_up(-(-n_real // p), node_multiple)  # own rows per chip
+
+    row_map = node_row = None
+    if balance:
+        deg = np.bincount(dst, minlength=n_real).astype(np.int64)
+        order = np.argsort(-deg, kind="stable")  # hubs first
+        k = np.arange(n_real)
+        rnd, j = k // p, k % p
+        block = np.where(rnd % 2 == 0, j, p - 1 - j)  # snake dealing
+        node_row = np.empty(n_real, np.int64)
+        node_row[order] = block * c + rnd
+        row_map = np.full(p * c, -1, np.int32)
+        row_map[node_row] = np.arange(n_real)
+        # relabel every edge endpoint into row space; all later block math
+        # (owner = id // c) operates on rows
+        src = node_row[src]
+        dst = node_row[dst]
 
     in_deg = np.bincount(dst, minlength=p * c).astype(np.int32)
     out_deg = np.bincount(src, minlength=p * c).astype(np.int32)
@@ -315,19 +350,31 @@ def partition_graph(
         pallas_local=pallas_local,
         pallas_interior=pallas_interior,
         pallas_boundary=pallas_boundary,
+        row_map=jnp.asarray(row_map) if row_map is not None else None,
+        node_row=jnp.asarray(node_row, jnp.int32)
+        if node_row is not None else None,
     )
 
 
 def shard_features(x: np.ndarray, pgraph: PartitionedGraph) -> np.ndarray:
-    """(N, F) host features → (P, C, F) owner-block shards (zero padded)."""
+    """(N, F) host features → (P, C, F) owner-block shards (zero padded),
+    applying the balanced-partition permutation when one is recorded."""
     p, c = pgraph.n_chips, pgraph.own_rows
     f = x.shape[1]
     out = np.zeros((p * c, f), x.dtype)
-    out[: len(x)] = x
+    if pgraph.row_map is not None:
+        rm = np.asarray(pgraph.row_map)
+        valid = rm >= 0
+        out[valid] = np.asarray(x)[rm[valid]]
+    else:
+        out[: len(x)] = x
     return out.reshape(p, c, f)
 
 
 def unshard_rows(x: np.ndarray, pgraph: PartitionedGraph) -> np.ndarray:
-    """(P, C, F) shards → (N_real, F)."""
+    """(P, C, F) shards → (N_real, F), undoing any balanced permutation."""
     p, c = pgraph.n_chips, pgraph.own_rows
-    return np.asarray(x).reshape(p * c, -1)[: pgraph.n_real_nodes]
+    flat = np.asarray(x).reshape(p * c, -1)
+    if pgraph.node_row is not None:
+        return flat[np.asarray(pgraph.node_row)]
+    return flat[: pgraph.n_real_nodes]

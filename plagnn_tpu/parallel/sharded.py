@@ -517,7 +517,11 @@ def make_sharded_fold_runner(
     labels = np.asarray(labels, np.float32)[:n_real]
     x_shards = jnp.asarray(shard_features(feats, pgraph))
     y_shards = jnp.asarray(shard_features(labels, pgraph))
-    node_valid = jnp.arange(n_rows) < n_real
+    # Balanced partitions interleave padding rows per block; validity and all
+    # node-indexed inputs/outputs go through the permutation tables.
+    balanced = pgraph.row_map is not None
+    row_map = pgraph.row_map if balanced else None
+    node_valid = (row_map >= 0) if balanced else jnp.arange(n_rows) < n_real
 
     def epoch_step(x_sh, y_sh, labels_g, carry, e_idx):
         params, opt_state, tr_s, va_g, alpha, last_auc = carry
@@ -594,13 +598,27 @@ def make_sharded_fold_runner(
 
         def to_rows(m):
             m = m[:, :n_real]
+            if balanced:
+                return jnp.where(
+                    row_map[None, :] >= 0,
+                    m[:, jnp.maximum(row_map, 0)], False)
             pad = n_rows - n_real
             return jnp.pad(m, ((0, 0), (0, pad))) if pad else m
 
         tr_s = to_rows(jnp.asarray(train_masks)).reshape(b, p, c)
         va_g = to_rows(jnp.asarray(val_masks))
-        return run_impl(x_shards, y_shards, params_batch, opt_batch,
-                        tr_s, va_g, jnp.float32(alpha),
-                        n_epochs=n_epochs or cfg.epoch_num)
+        params_batch, opt_batch, probs, history = run_impl(
+            x_shards, y_shards, params_batch, opt_batch,
+            tr_s, va_g, jnp.float32(alpha),
+            n_epochs=n_epochs or cfg.epoch_num)
+        if balanced:
+            # restore the engine's node-id row order (rows past n_real are
+            # padding the engine never reads)
+            gather = jnp.concatenate([
+                pgraph.node_row,
+                jnp.zeros(n_rows - n_real, jnp.int32),
+            ])
+            probs = probs[:, gather]
+        return params_batch, opt_batch, probs, history
 
     return run, tx

@@ -78,6 +78,11 @@ class TrainConfig:
     # a multiple of mesh_fold.
     mesh_graph: int = 1
     mesh_fold: int = 1
+    # Balanced edge partition (destination blocks over degree-sorted snake-
+    # dealt node rows): on power-law PPI topology contiguous id blocks can be
+    # arbitrarily edge-skewed and the SPMD barrier makes the worst chip the
+    # step time; balancing bounds the skew by one node's degree.
+    mesh_balance: bool = True
 
 
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
@@ -362,7 +367,8 @@ def _checkpoint_fingerprint(cfg: "TrainConfig") -> dict:
         "model": str(cfg.model),
         "hidden": tuple(int(h) for h in cfg.hidden),
         "mesh": (int(getattr(cfg, "mesh_fold", 1)),
-                 int(getattr(cfg, "mesh_graph", 1))),
+                 int(getattr(cfg, "mesh_graph", 1)),
+                 bool(getattr(cfg, "mesh_balance", True))),
     }
 
 
@@ -471,6 +477,7 @@ def train(
         pgraph = partition_graph(
             src_np, dst_np, graph.n_real_nodes, n_chips=cfg.mesh_graph,
             add_self_loops=False, pallas_rows_per_block=rpb,
+            balance=bool(cfg.mesh_balance) and cfg.mesh_graph > 1,
         )
         mesh = make_mesh(n_graph=cfg.mesh_graph, n_fold=cfg.mesh_fold)
         run, tx = make_sharded_fold_runner(

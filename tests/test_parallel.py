@@ -294,3 +294,58 @@ def test_sharded_gcn_propagate_matches_single_chip(bundle):
     out = f(pg.local, pg.send_idx, x_shards, pg.in_degree, pg.out_degree)
     np.testing.assert_allclose(unshard_rows(np.asarray(out), pg), ref,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_balanced_partition_edge_balance_and_roundtrip(bundle):
+    """balance=True must (a) bound per-chip edge skew far below the
+    contiguous-block skew on a hub-ordered power-law graph, (b) record a
+    valid permutation, and (c) round-trip features through
+    shard_features/unshard_rows."""
+    ppi, feats, _, _, _, _ = bundle
+    p = 4
+    for bal in (False, True):
+        pg = partition_graph(
+            ppi.row, ppi.col, N, n_chips=p, add_self_loops=True,
+            widths=(4, 16, 64), balance=bal,
+        )
+        # per-chip real edge counts from the local graphs (dummy edges
+        # excluded: both endpoints == n_pad-1)
+        counts = []
+        for chip in range(p):
+            src = np.asarray(pg.local.src[chip])
+            dst = np.asarray(pg.local.dst[chip])
+            dummy = pg.local.n_nodes - 1
+            counts.append(int(np.sum(~((src == dummy) & (dst == dummy)))))
+        if bal:
+            row_map = np.asarray(pg.row_map)
+            node_row = np.asarray(pg.node_row)
+            assert np.sum(row_map >= 0) == N
+            assert np.array_equal(row_map[node_row], np.arange(N))
+            x = shard_features(feats, pg)
+            np.testing.assert_array_equal(unshard_rows(x, pg), feats)
+            bal_skew = max(counts) / (sum(counts) / p)
+            assert bal_skew <= contig_skew + 1e-9
+            assert bal_skew < 1.35, counts
+        else:
+            assert pg.row_map is None
+            contig_skew = max(counts) / (sum(counts) / p)
+    # powerlaw_ppi puts hubs at low ids: contiguous blocks are heavily skewed
+    assert contig_skew > 1.5, contig_skew
+
+
+def test_balanced_sharded_forward_matches_single_chip(bundle):
+    """The full sharded forward over a BALANCED partition must equal the
+    single-chip forward after unshard_rows undoes the permutation."""
+    ppi, feats, loc, _, graph, _ = bundle
+    pgb = partition_graph(
+        ppi.row, ppi.col, N, n_chips=4, add_self_loops=True,
+        widths=(4, 16, 64), balance=True,
+    )
+    mesh = make_mesh(n_graph=4, n_fold=1)
+    params = init_gnn32(jax.random.PRNGKey(3), feats.shape[1], 13, 9, 7, 5, 12)
+    xp = jnp.asarray(pad_features(feats, graph.n_nodes))
+    ref = np.asarray(gnn32_apply(params, graph, xp))[:N]
+    x_shards = jnp.asarray(shard_features(feats, pgb))
+    out = make_sharded_forward(mesh, pgb)(params, x_shards)
+    got = unshard_rows(np.asarray(out), pgb)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

@@ -114,3 +114,12 @@ def test_parse_mesh():
         parse_mesh("fold=0")
     with pytest.raises(SystemExit):
         parse_mesh("fold2")
+
+
+def test_sharded_engine_no_balance_matches_single_chip(tmp_path):
+    """--no-mesh-balance (contiguous id blocks) must also match single-chip;
+    the default tests above cover the balanced permutation path."""
+    ref = _run(tmp_path / "single")
+    got = _run(tmp_path / "mesh", mesh_fold=2, mesh_graph=4,
+               mesh_balance=False)
+    _assert_same_run(ref, got, atol=1e-5)
