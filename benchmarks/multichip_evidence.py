@@ -307,13 +307,13 @@ def partition_counts(src, dst, n_real, p, balanced=False):
 
 
 def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
-              agg_dtype: str, part: str):
-    from plagnn_tpu.data import synthetic_dataset
+              agg_dtype: str, part: str, n_nodes: int = N_NODES,
+              n_edges: int = N_EDGES):
+    from plagnn_tpu.data.synthetic import powerlaw_ppi
     from plagnn_tpu.models.batched import packed_stride
 
-    ppi, _, _, _ = synthetic_dataset(
-        n_nodes=N_NODES, n_edges=N_EDGES, seed=70, feature_dims=(3, 250, 250))
-    loops = np.arange(N_NODES, dtype=np.int64)
+    ppi = powerlaw_ppi(n_nodes=n_nodes, n_edges=n_edges, seed=70)
+    loops = np.arange(n_nodes, dtype=np.int64)
     src = np.concatenate([np.asarray(ppi.row, np.int64), loops])
     dst = np.concatenate([np.asarray(ppi.col, np.int64), loops])
     e_tot = len(src)
@@ -331,6 +331,8 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
     # 1-chip epoch-aggregation time: all 3 layers over every edge.
     t1 = e_tot * FOLD_BATCH * sum(taus)
 
+    section = ("halo_bytes_model" if n_nodes == N_NODES
+               else f"halo_bytes_model_{n_edges // 1_000_000}M")
     out = {
         "assumptions": {
             "measured_single_chip_edge_folds_per_s": measured_edge_folds_per_s,
@@ -344,13 +346,13 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
             "comm_counted_fwd_and_bwd": True,
             "gemm_time_ignored": "SpMM-dominated model: GEMMs overlap on the MXU",
         },
-        "graph": {"n_nodes": N_NODES, "directed_edges_incl_loops": e_tot},
+        "graph": {"n_nodes": n_nodes, "directed_edges_incl_loops": e_tot},
         "per_p": {},
     }
     for p in (2, 4, 8, 16):
         out["per_p"][str(p)] = {}
         for tag, balanced in (("contiguous", False), ("balanced", True)):
-            cts = partition_counts(src, dst, N_NODES, p, balanced=balanced)
+            cts = partition_counts(src, dst, n_nodes, p, balanced=balanced)
             t_layers_ov = 0.0
             t_layers_seq = 0.0
             halo_mb = 0.0
@@ -387,7 +389,7 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
                 f"{out['per_p'][str(p)][tag]['edge_skew_worst_over_mean']}x, "
                 f"halo {halo_mb:.0f} MB/step, eff overlap {eff_ov:.3f} "
                 f"vs sequential {eff_seq:.3f}")
-    merge_results("halo_bytes_model", out)
+    merge_results(section, out)
 
 
 def main():
@@ -404,6 +406,8 @@ def main():
     ap.add_argument("--bytes-per-edge-fold", type=int, default=3328,
                     help="B=10 bf16: fwd 6144*2/10 + bwd 16*2*384*2/10")
     ap.add_argument("--part", default="v5e", choices=tuple(ICI_EGRESS))
+    ap.add_argument("--nodes", type=int, default=N_NODES)
+    ap.add_argument("--edges", type=int, default=N_EDGES)
     args = ap.parse_args()
     if args.mode == "hw":
         run_hw(args.epochs, args.agg_dtype)
@@ -411,7 +415,8 @@ def main():
         run_virtual(args.steps)
     else:
         run_model(args.measured_rate, args.bytes_per_edge_fold,
-                  args.agg_dtype, args.part)
+                  args.agg_dtype, args.part, n_nodes=args.nodes,
+                  n_edges=args.edges)
 
 
 if __name__ == "__main__":
