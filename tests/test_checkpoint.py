@@ -251,3 +251,33 @@ def test_multi_alpha_cross_round(tmp_path):
             fig = json.load(fh)
         assert set(fig["validation"].keys()) == {"0.1", "0.3"}
         assert set(fig["validation"]["0.1"].keys()) == {"1", "2"}
+
+
+def test_kill_resume_mid_round_on_mesh(tmp_path):
+    """Mid-round checkpoint/resume must also hold on the multi-chip path:
+    fold-sharded params/opt state round-trip through the pickle and the
+    resumed mesh run's artifacts match an uninterrupted single-chip run
+    (sharded-vs-single drift is reduction-order only)."""
+    ref = _tiny_train(tmp_path / "plain")
+
+    mesh_kw = dict(fold_batch=2, mesh_fold=2, mesh_graph=2)
+    boom_dir = tmp_path / "crashy_mesh"
+    calls = []
+
+    def bomb(round_idx, alpha, start, done):
+        calls.append(done)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _tiny_train(boom_dir, checkpoint_every=2, chunk_callback=bomb,
+                    **mesh_kw)
+    assert [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
+
+    got = _tiny_train(boom_dir, checkpoint_every=2, **mesh_kw)  # resume
+    assert set(got) == set(ref)
+    for f in ref:
+        np.testing.assert_allclose(got[f], ref[f], atol=1e-5)
+    assert not [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
