@@ -68,6 +68,8 @@ def main():
         ("bf16 B=16 s=8192", 16, 8192, jnp.bfloat16, None),
         ("bf16 B=20 s=10240", 20, 10240, jnp.bfloat16, None),
         ("bf16 B=24 s=12288", 24, 12288, jnp.bfloat16, None),
+        ("bf16 B=28 s=14336", 28, 14336, jnp.bfloat16, None),
+        ("bf16 B=32 s=16384", 32, 16384, jnp.bfloat16, None),
     ]
     results = []
     for label, folds, stride, dt, rpb_over in cases:

@@ -39,6 +39,10 @@ def main():
                          "the sharded step (local gather space must stay "
                          "under the 32768-node int16 argmax ceiling)")
     ap.add_argument("--pallas-interpret", action="store_true")
+    ap.add_argument("--balance", action="store_true",
+                    help="balanced (degree-snake) edge partition — the "
+                         "engine's production default; contiguous blocks "
+                         "are edge-skewed on power-law topology")
     args = ap.parse_args()
 
     if args.cpu_virtual:
@@ -82,6 +86,7 @@ def main():
         pg = partition_graph(
             ppi.row, ppi.col, args.nodes, n_chips=p, add_self_loops=True,
             pallas_rows_per_block=8 if args.pallas else None,
+            balance=args.balance,
         )
         mesh = make_mesh(n_graph=p, n_fold=args.folds)
         b_folds = args.folds
@@ -94,9 +99,14 @@ def main():
         opt_state = jax.vmap(tx.init)(params)
         tr_np, _ = fold_node_masks(
             label_list, pg.n_chips * pg.own_rows, max(b_folds, 2), 12)
-        tr = jnp.asarray(
-            tr_np[:b_folds, : pg.n_chips * pg.own_rows].reshape(
-                b_folds, pg.n_chips, pg.own_rows))
+        n_rows = pg.n_chips * pg.own_rows
+        if pg.row_map is not None:
+            rm = np.asarray(pg.row_map)
+            trb = np.zeros((b_folds, n_rows), bool)
+            trb[:, rm >= 0] = tr_np[:b_folds][:, rm[rm >= 0]]
+        else:
+            trb = tr_np[:b_folds, :n_rows]
+        tr = jnp.asarray(trb.reshape(b_folds, pg.n_chips, pg.own_rows))
         x = jnp.asarray(shard_features(feats, pg))
         y = jnp.asarray(shard_features(loc, pg))
         if args.pallas:
