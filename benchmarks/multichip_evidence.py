@@ -277,12 +277,40 @@ def balance_rows(src, dst, n_real, p, c):
     return node_row[src], node_row[dst]
 
 
-def partition_counts(src, dst, n_real, p, balanced=False):
+def rcm_segment_rows(src, dst, n_real, p):
+    """Locality-aware edge-balanced rows: RCM ordering cut into P contiguous
+    segments of ~E/P incoming edges each.  Segments keep community locality
+    (small halo) while the cuts balance edges; node counts per segment vary,
+    so the common block size C is the largest segment (memory inflation is
+    the price of locality).  Returns (node_row, c)."""
+    from plagnn_tpu.ops.reorder import rcm_order
+
+    perm = rcm_order(src, dst, n_real)          # NEW -> OLD
+    deg = np.bincount(dst, minlength=n_real).astype(np.int64)
+    cum = np.cumsum(deg[perm])
+    targets = cum[-1] * np.arange(1, p) / p
+    cuts = np.searchsorted(cum, targets)
+    bounds = np.concatenate([[0], cuts, [n_real]])
+    c = int(-(-np.diff(bounds).max() // 8) * 8)
+    node_row = np.empty(n_real, np.int64)
+    for b in range(p):
+        seg = perm[bounds[b]:bounds[b + 1]]
+        node_row[seg] = b * c + np.arange(len(seg))
+    return node_row, c
+
+
+def partition_counts(src, dst, n_real, p, balanced=False, strategy=None):
     """Host-side halo accounting for a P-way destination-block partition
-    (same block layout as parallel.partition.partition_graph)."""
+    (same block layout as parallel.partition.partition_graph).
+
+    strategy overrides ``balanced``: 'contiguous' | 'snake' | 'rcm_seg'."""
+    strategy = strategy or ("snake" if balanced else "contiguous")
     c = -(-n_real // p)
-    if balanced:
+    if strategy == "snake":
         src, dst = balance_rows(src, dst, n_real, p, c)
+    elif strategy == "rcm_seg":
+        node_row, c = rcm_segment_rows(src, dst, n_real, p)
+        src, dst = node_row[src], node_row[dst]
     owner_dst = dst // c
     owner_src = src // c
     cross = owner_src != owner_dst
@@ -308,15 +336,19 @@ def partition_counts(src, dst, n_real, p, balanced=False):
 
 def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
               agg_dtype: str, part: str, n_nodes: int = N_NODES,
-              n_edges: int = N_EDGES):
-    from plagnn_tpu.data.synthetic import powerlaw_ppi
+              n_edges: int = N_EDGES, topology: str = "powerlaw",
+              strategies=("contiguous", "balanced")):
+    from plagnn_tpu.data.synthetic import clustered_ppi, powerlaw_ppi
     from plagnn_tpu.models.batched import packed_stride
 
-    ppi = powerlaw_ppi(n_nodes=n_nodes, n_edges=n_edges, seed=70)
+    gen = clustered_ppi if topology == "clustered" else powerlaw_ppi
+    ppi = gen(n_nodes=n_nodes, n_edges=n_edges, seed=70)
     loops = np.arange(n_nodes, dtype=np.int64)
     src = np.concatenate([np.asarray(ppi.row, np.int64), loops])
     dst = np.concatenate([np.asarray(ppi.col, np.int64), loops])
     e_tot = len(src)
+    strategy_of = {"contiguous": "contiguous", "balanced": "snake",
+                   "rcm_seg": "rcm_seg"}
 
     dt_bytes = 2 if agg_dtype == "bfloat16" else 4
     align = 2048 if agg_dtype == "bfloat16" else 1024
@@ -333,6 +365,8 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
 
     section = ("halo_bytes_model" if n_nodes == N_NODES
                else f"halo_bytes_model_{n_edges // 1_000_000}M")
+    if topology != "powerlaw":
+        section += f"_{topology}"
     out = {
         "assumptions": {
             "measured_single_chip_edge_folds_per_s": measured_edge_folds_per_s,
@@ -343,6 +377,7 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
             "part": part,
             "agg_dtype": agg_dtype,
             "fold_batch": FOLD_BATCH,
+            "topology": topology,
             "comm_counted_fwd_and_bwd": True,
             "gemm_time_ignored": "SpMM-dominated model: GEMMs overlap on the MXU",
         },
@@ -351,8 +386,9 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
     }
     for p in (2, 4, 8, 16):
         out["per_p"][str(p)] = {}
-        for tag, balanced in (("contiguous", False), ("balanced", True)):
-            cts = partition_counts(src, dst, n_nodes, p, balanced=balanced)
+        for tag in strategies:
+            cts = partition_counts(src, dst, n_nodes, p,
+                                   strategy=strategy_of[tag])
             t_layers_ov = 0.0
             t_layers_seq = 0.0
             halo_mb = 0.0
@@ -373,6 +409,8 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
             eff_seq = t1 / (p * t_layers_seq)
             out["per_p"][str(p)][tag] = {
                 "own_rows": int(cts["own_rows"]),
+                "mem_inflation_rows": round(
+                    p * int(cts["own_rows"]) / n_nodes, 3),
                 "edges_worst_chip": int(cts["edges_per_chip"].max()),
                 "edge_skew_worst_over_mean": round(
                     float(cts["edges_per_chip"].max()
@@ -408,6 +446,11 @@ def main():
     ap.add_argument("--part", default="v5e", choices=tuple(ICI_EGRESS))
     ap.add_argument("--nodes", type=int, default=N_NODES)
     ap.add_argument("--edges", type=int, default=N_EDGES)
+    ap.add_argument("--topology", default="powerlaw",
+                    choices=("powerlaw", "clustered"))
+    ap.add_argument("--strategies", nargs="+",
+                    default=["contiguous", "balanced"],
+                    choices=("contiguous", "balanced", "rcm_seg"))
     args = ap.parse_args()
     if args.mode == "hw":
         run_hw(args.epochs, args.agg_dtype)
@@ -416,7 +459,8 @@ def main():
     else:
         run_model(args.measured_rate, args.bytes_per_edge_fold,
                   args.agg_dtype, args.part, n_nodes=args.nodes,
-                  n_edges=args.edges)
+                  n_edges=args.edges, topology=args.topology,
+                  strategies=tuple(args.strategies))
 
 
 if __name__ == "__main__":
