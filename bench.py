@@ -10,7 +10,7 @@ aggregated over the 10-fold CV ensemble that constitutes the real workload
 * Pallas fold-batched grouped-CSR kernels (f32, one DMA per edge for all
   folds),
 * Pallas bf16 message mode at the fold batch that amortizes the scalar-core
-  DMA-issue floor (B=24).
+  DMA-issue floor (B=32; measured plateau 171.5/175.4/176.2 M at B=24/28/32).
 
 SOL accounting is per-path-honest: every path carries its own measured
 bytes-of-read-traffic per edge-fold (fwd row gather + fused bwd grad/argmax
@@ -49,7 +49,8 @@ HBM_BYTES_PER_SEC = {
 }
 
 FOLDS = 10
-B16 = 24            # bf16 fold batch at the measured throughput plateau
+B16 = 32            # bf16 fold batch at the measured throughput plateau
+                    # (B=24: 171.5, B=28: 175.4, B=32: 176.2 M e-f/s — r3 sweep)
 F_DIM = 503
 
 
@@ -191,7 +192,7 @@ def main():
                 "diagnostic": True,
             })
 
-            # --- Pallas bf16 fwd+bwd at B=24 (stride 12288) ---------------
+            # --- Pallas bf16 fwd+bwd at the plateau batch (B=32) ----------
             # bf16 halves the bytes of every edge DMA; max is exact over the
             # rounded inputs and the backward fuses bf16 grads + int16
             # argmax lanes at equal width.
