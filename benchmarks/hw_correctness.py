@@ -71,6 +71,28 @@ def main():
     d_g = np.abs(np.asarray(g16) - np.asarray(g32)).max()
     print(f"bf16 vs f32: fwd err {d_out}, bwd err {d_g}", file=sys.stderr)
     assert d_out == 0.0 and d_g == 0.0, (d_out, d_g)
+
+    # Hub-cache (VMEM arena) stream split: exact vs the single-stream
+    # kernels, f32 and bf16, fwd and argmax-routed bwd.  Inputs are relu'd
+    # and coarsely quantized so per-lane value ties across rows are common —
+    # the regime where the hub merge's (value, then smaller-id) rule must
+    # reproduce first-in-sorted-order argmax exactly.
+    pgh = build_pallas_graph(
+        src, dst, n_pad, rows_per_block=64, hub_k=16, hub_k_bwd=16)
+    xt = jnp.asarray(np.maximum(xr, 0.0) // 64.0)  # few distinct values
+    for tag, xx in (("f32", xt), ("bf16", xt.astype(jnp.bfloat16))):
+        y0 = np.asarray(jax.jit(pallas_spmm_max)(pg, xx).astype(jnp.float32))
+        yh = np.asarray(jax.jit(pallas_spmm_max)(pgh, xx).astype(jnp.float32))
+        np.testing.assert_array_equal(y0, yh)
+        gh0 = jax.jit(jax.grad(lambda x: jnp.sum(
+            pallas_spmm_max(pg, x.astype(xx.dtype)).astype(jnp.float32) * w
+        )))(xt)
+        ghh = jax.jit(jax.grad(lambda x: jnp.sum(
+            pallas_spmm_max(pgh, x.astype(xx.dtype)).astype(jnp.float32) * w
+        )))(xt)
+        d = np.abs(np.asarray(gh0) - np.asarray(ghh)).max()
+        assert d == 0.0, (tag, d)
+        print(f"hub {tag}: fwd+bwd exact vs single-stream", file=sys.stderr)
     print("HW_CORRECTNESS_OK")
 
 

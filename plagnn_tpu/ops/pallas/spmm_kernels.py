@@ -40,11 +40,22 @@ EQUAL width (4 B per element vs the packed-f32 path's 5.6 B), hit-tests in
 the int16 domain, and tree-sums hits with an f32 upcast before the f32
 accumulator (dx is returned in bf16, the input dtype).
 
+Hub cache (``hub_k``/``hub_k_bwd``): on power-law PPI topology the top-k
+most-fetched rows cover a large edge fraction (top-128 ≈ 21% on the 24k-node
+bench graph) — those rows are preloaded once per kernel call into a
+persistent VMEM arena and their edges stream separately (HubStream), served
+with zero per-edge DMA.  Hub groups are STOLEN between regular DMA-stream
+groups in proportion to progress, so their pure-VPU cost hides inside the
+DMA service time the ring is waiting on (a serial hub phase measured as a
+wash at large strides: ~345 ns/group of naked arena reads ≈ the DMA service
+saved).  Applies to fwd max/sum and both masked backwards.
+
 Semantics match DGL 0.8.x gspmm (SURVEY.md 2.2): max reduce with 0 for
 empty rows; argmax records the FIRST maximum in (dst, src) sorted order
-(within-group descending-select, cross-group strict-greater).  The backward
-masked sum routes gradients to the recorded argmax source over the transpose
-blocked CSR.
+(within-group descending-select, cross-group strict-greater; with a hub
+stream interleaved, ties resolve explicitly by smaller source id — the
+same order).  The backward masked sum routes gradients to the recorded
+argmax source over the transpose blocked CSR.
 """
 from __future__ import annotations
 
@@ -77,22 +88,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_rows_per_block_budget(stride: int, budget_bytes: int = 12 << 20) -> int:
+def pick_rows_per_block_budget(
+    stride: int, budget_bytes: int = 12 << 20, arena_bytes: int = 0
+) -> int:
     """Largest rows-per-block <= DEFAULT_R whose argmax-variant VMEM
     footprint fits ``budget_bytes``, ignoring node-count divisibility — for
     callers that pad the node count to the block size afterwards (the graph
     partitioner pads every chip's gather space to a multiple of the chosen
     block).  Footprint estimate: r*stride*4 bytes for each of {acc, argacc,
-    2x out, 2x arg out} plus the NG*G-row DMA ring."""
+    2x out, 2x arg out} plus the NG*G-row DMA ring, plus ``arena_bytes``
+    of persistent hub-cache arena (hub_k > 0 paths)."""
     ring = NG * G * stride * 4
     r = DEFAULT_R
-    while r > 8 and r * stride * 4 * 6 + ring > budget_bytes:
+    while r > 8 and r * stride * 4 * 6 + ring + arena_bytes > budget_bytes:
         r //= 2
     return r
 
 
 def pick_rows_per_block(
-    n_pad_nodes: int, stride: int, budget_bytes: int = 12 << 20
+    n_pad_nodes: int, stride: int, budget_bytes: int = 12 << 20,
+    arena_bytes: int = 0,
 ) -> int:
     """Largest rows-per-block <= DEFAULT_R that divides ``n_pad_nodes`` and
     keeps the argmax variant's VMEM footprint under ``budget_bytes``.
@@ -101,7 +116,7 @@ def pick_rows_per_block(
     (~17 MB: acc + argacc + double-buffered out/arg blocks) and crashes the
     Mosaic compiler — a measured dead end (BASELINE.md).
     """
-    r = pick_rows_per_block_budget(stride, budget_bytes)
+    r = pick_rows_per_block_budget(stride, budget_bytes, arena_bytes)
     while r > 8 and n_pad_nodes % r:
         r //= 2
     if n_pad_nodes % r:
@@ -114,7 +129,34 @@ def pick_rows_per_block(
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blk_ptr", "src", "dst_local"],
+    data_fields=["blk_ptr", "slot", "dstl", "ids"],
+    meta_fields=["k"],
+)
+@dataclasses.dataclass(frozen=True)
+class HubStream:
+    """Arena-served edge stream (the hub cache).
+
+    The top-k hottest source rows of a blocked stream are preloaded once per
+    kernel call into a persistent VMEM arena; edges whose source is one of
+    them are split out of the DMA stream and processed straight from VMEM —
+    no per-edge DMA issue, no HBM bytes.  On power-law PPI topology
+    (data_preprocess.py:74-110 in the reference) the top-128 rows cover
+    ~21% of all edges, so this trims the byte-bound kernels' HBM traffic by
+    that fraction at the cost of a short compute-only tail phase per block.
+    Layout mirrors BlockedCsr; ``slot`` indexes the arena (k = identity pad
+    row), ``ids[slot]`` maps back to the global node id (``ids[k]`` is the
+    dummy node)."""
+
+    blk_ptr: jax.Array   # (n_blocks + 1,) int32, multiples of G
+    slot: jax.Array      # (Eh_pad + 2*T_E,) int32 arena slot (k for pad)
+    dstl: jax.Array      # (Eh_pad + 2*T_E,) int32 dst row within block (R for pad)
+    ids: jax.Array       # (k + 1,) int32 global node id per slot
+    k: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blk_ptr", "src", "dst_local", "hub"],
     meta_fields=["n_blocks", "rows_per_block", "n_pad_nodes", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +170,42 @@ class BlockedCsr:
     rows_per_block: int
     n_pad_nodes: int
     n_edges: int
+    hub: HubStream | None = None
+
+
+def _build_stream(
+    src_vals: np.ndarray,
+    dst: np.ndarray,
+    n_pad_nodes: int,
+    r: int,
+    pad_src: int,
+    sort_key: np.ndarray | None = None,
+):
+    """Core blocked-stream layout: sort edges by (dst, sort_key or value),
+    pad each destination row's edge list to a multiple of G, group rows into
+    R-row blocks.  Block edge lists stay G-aligned (the kernel's last index
+    chunk per block is partial); the arrays carry 2*T_E trailing pad slots so
+    the T_E-aligned 2*T_E-wide index-window DMAs may overrun the final block.
+    Returns (blk_ptr, src_arr, dstl_arr) as numpy arrays."""
+    order = np.lexsort((src_vals if sort_key is None else sort_key, dst))
+    src_vals, dst = src_vals[order], dst[order]
+
+    counts = np.bincount(dst, minlength=n_pad_nodes)
+    padded_counts = ((counts + G - 1) // G) * G
+    row_start = np.zeros(n_pad_nodes + 1, np.int64)
+    np.cumsum(padded_counts, out=row_start[1:])
+    e_rows = int(row_start[-1])
+    src_r = np.full(e_rows + 2 * T_E, pad_src, np.int32)
+    dst_r = np.full(e_rows + 2 * T_E, r, np.int32)
+    dst_r[:e_rows] = np.repeat(
+        np.arange(n_pad_nodes) % r, padded_counts)
+    orig_start = np.zeros(n_pad_nodes, np.int64)
+    np.cumsum(counts[:-1], out=orig_start[1:])
+    pos = row_start[dst] + (np.arange(len(src_vals)) - orig_start[dst])
+    src_r[pos] = src_vals
+
+    blk_ptr = row_start[:: r].copy()  # (n_blocks + 1,), G-aligned
+    return blk_ptr, src_r, dst_r
 
 
 def build_blocked_csr(
@@ -135,65 +213,180 @@ def build_blocked_csr(
     dst: np.ndarray,
     n_pad_nodes: int,
     rows_per_block: int = DEFAULT_R,
+    hub_k: int = 0,
 ) -> BlockedCsr:
-    """Sort edges by (dst, src); pad each destination row's edge list to a
-    multiple of G; group rows into R-row blocks.  Block edge lists stay
-    G-aligned (the kernel's last index chunk per block is partial); the
-    arrays carry 2*T_E trailing dummy slots so the T_E-aligned 2*T_E-wide
-    index-window DMAs may overrun the final block."""
+    """Blocked grouped-CSR build; see _build_stream for the layout.
+
+    ``hub_k`` > 0 splits edges whose source is one of the ``hub_k`` most
+    frequently fetched rows into a separate arena-served HubStream (see
+    HubStream docstring).  Both streams keep (dst, src)-sorted order within
+    each destination row, so first-maximum argmax semantics are preserved:
+    the kernel merges the hub phase with a (value, then smaller-id) tie rule."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
-    order = np.lexsort((src, dst))
-    src, dst = src[order], dst[order]
     r = rows_per_block
     assert n_pad_nodes % r == 0, "pad node count to a multiple of rows_per_block"
     dummy = n_pad_nodes - 1
-    if len(src):
+    n_edges = len(src)
+    if n_edges:
         assert src.max() < dummy and dst.max() < dummy, (
             "node id n_pad_nodes-1 is reserved for the padding dummy"
         )
 
-    # Per-row padding to group multiples.
-    counts = np.bincount(dst, minlength=n_pad_nodes)
-    padded_counts = ((counts + G - 1) // G) * G
-    row_start = np.zeros(n_pad_nodes + 1, np.int64)
-    np.cumsum(padded_counts, out=row_start[1:])
-    e_rows = int(row_start[-1])
-    src_r = np.full(e_rows + 2 * T_E, dummy, np.int32)
-    dst_r = np.full(e_rows + 2 * T_E, r, np.int32)
-    dst_r[:e_rows] = np.repeat(
-        np.arange(n_pad_nodes) % r, padded_counts)
-    orig_start = np.zeros(n_pad_nodes, np.int64)
-    np.cumsum(counts[:-1], out=orig_start[1:])
-    pos = row_start[dst] + (np.arange(len(src)) - orig_start[dst])
-    src_r[pos] = src
+    hub = None
+    if hub_k > 0 and n_edges:
+        fetch_counts = np.bincount(src, minlength=n_pad_nodes)
+        top = np.argsort(-fetch_counts, kind="stable")[:hub_k]
+        top = top[fetch_counts[top] > 0]
+        if len(top):
+            k = len(top)
+            slot_of = np.full(n_pad_nodes, -1, np.int64)
+            slot_of[top] = np.arange(k)
+            is_hub = slot_of[src] >= 0
+            hsrc, hdst = src[is_hub], dst[is_hub]
+            hb, hs, hd = _build_stream(
+                slot_of[hsrc], hdst, n_pad_nodes, r, pad_src=k,
+                sort_key=hsrc)
+            hub = HubStream(
+                blk_ptr=jnp.asarray(hb, jnp.int32),
+                slot=jnp.asarray(hs),
+                dstl=jnp.asarray(hd),
+                ids=jnp.asarray(
+                    np.append(top, dummy).astype(np.int32)),
+                k=k,
+            )
+            src, dst = src[~is_hub], dst[~is_hub]
 
-    n_blocks = n_pad_nodes // r
-    blk_ptr = row_start[:: r].copy()  # (n_blocks + 1,), G-aligned
-
+    blk_ptr, src_r, dst_r = _build_stream(src, dst, n_pad_nodes, r,
+                                          pad_src=dummy)
     return BlockedCsr(
         blk_ptr=jnp.asarray(blk_ptr, jnp.int32),
         src=jnp.asarray(src_r),
         dst_local=jnp.asarray(dst_r),
-        n_blocks=n_blocks,
+        n_blocks=n_pad_nodes // r,
         rows_per_block=r,
         n_pad_nodes=n_pad_nodes,
-        n_edges=len(src),
+        n_edges=n_edges,
+        hub=hub,
     )
 
 
-def _spmm_fwd_kernel(
-    blk_ptr_ref,
-    src_hbm, dstl_hbm, x_hbm,
-    out_ref, arg_ref,
-    acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems,
-    *, reduce: str, with_argmax: bool, r: int, dummy: int, sub: int = 8,
-    unroll: int = U,
+def _hub_machinery(
+    he0, he1, hslot_hbm, hdstl_hbm, idx_hslot, idx_hdstl, hidx_sems,
+    group_fn,
 ):
+    """Chunked walk over a block's hub stream, callable ONE GROUP AT A TIME
+    so the caller can steal hub work in between regular DMA-stream groups
+    (the hub phase is pure VPU work; interleaving hides it under the DMA
+    service time the regular stream is bound by).
+
+    Returns (prefetch0, hub_one, hub_n):
+      * prefetch0() starts the first index-window DMA (call once, early);
+      * hub_one(h) processes hub group ``h`` (0-based within the block),
+        retiring/prefetching T_E index windows at chunk boundaries — groups
+        MUST be visited in order, each exactly once;
+      * hub_n: number of hub groups in this block (traced int32).
+    ``group_fn(off)`` does the kernel-specific work for the group whose
+    first edge sits at SMEM-window offset ``off``."""
+    hub_n = (he1 - he0) // G
+
+    def hidx_copies(c, b):
+        aligned = pl.multiple_of(((he0 + c * T_E) // T_E) * T_E, T_E)
+        return (
+            pltpu.make_async_copy(
+                hslot_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_hslot.at[pl.ds(b * 2 * T_E, 2 * T_E)],
+                hidx_sems.at[b, 0]),
+            pltpu.make_async_copy(
+                hdstl_hbm.at[pl.ds(aligned, 2 * T_E)],
+                idx_hdstl.at[pl.ds(b * 2 * T_E, 2 * T_E)],
+                hidx_sems.at[b, 1]),
+        )
+
+    def prefetch0():
+        @pl.when(hub_n > 0)
+        def _():
+            for cp in hidx_copies(0, 0):
+                cp.start()
+
+    def hub_one(h):
+        base_in = h * G  # edge offset within the block's hub stream
+        ch = base_in // T_E
+
+        @pl.when(base_in - ch * T_E < G)  # first group of its index chunk
+        def _():
+            for cp in hidx_copies(ch, ch % 2):
+                cp.wait()
+
+            @pl.when((ch + 1) * T_E < he1 - he0)
+            def _():
+                for cp in hidx_copies(ch + 1, 1 - ch % 2):
+                    cp.start()
+
+        aligned = ((he0 + ch * T_E) // T_E) * T_E
+        group_fn((ch % 2) * 2 * T_E + he0 + base_in - aligned)
+
+    return prefetch0, hub_one, hub_n
+
+
+def _make_steal(hub_one, hub_n, reg_n):
+    """Bresenham-paced stealing: each regular group accumulates ``hub_n``
+    into an error term; whenever it reaches ``reg_n``, one hub group is
+    processed.  Add/compare only — a per-group scalar division here
+    measured ~55 ns/group, a real tax on issue-bound shapes.  Carry is
+    (hub cursor, error term), init (0, 0); leftovers drain after the
+    regular loop."""
+
+    def steal(carry):
+        hc, err = carry
+        err = err + hub_n
+
+        def body(state):
+            h, e = state
+            hub_one(h)
+            return h + 1, e - reg_n
+
+        return jax.lax.while_loop(lambda s: s[1] >= reg_n, body, (hc, err))
+
+    return steal
+
+
+def _spmm_fwd_kernel(
+    blk_ptr_ref, *refs,
+    reduce: str, with_argmax: bool, with_hub: bool = False, r: int,
+    dummy: int, sub: int = 8, unroll: int = U,
+):
+    rest = list(refs)
+    hub_blk_ptr_ref = rest.pop(0) if with_hub else None
+    hub_map_ref = rest.pop(0) if with_hub else None
+    src_hbm, dstl_hbm, x_hbm = rest.pop(0), rest.pop(0), rest.pop(0)
+    if with_hub:
+        hslot_hbm, hdstl_hbm, xhub_hbm = (
+            rest.pop(0), rest.pop(0), rest.pop(0))
+    out_ref = rest.pop(0)
+    arg_ref = rest.pop(0) if with_argmax else None
+    acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems = (
+        rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0),
+        rest.pop(0), rest.pop(0))
+    if with_hub:
+        arena, idx_hslot, idx_hdstl, hub_sem, hidx_sems = (
+            rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0))
+    assert not rest, f"{len(rest)} unconsumed kernel refs"
+
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    if with_hub:
+        # The arena persists across grid steps (scratch is allocated once
+        # per kernel call; TPU grids run sequentially): preload the hub
+        # rows with a single contiguous DMA on the first block.
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(xhub_hbm, arena, hub_sem.at[0])
+            cp.start()
+            cp.wait()
 
     def idx_copies(c, b):
         # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
@@ -221,6 +414,64 @@ def _spmm_fwd_kernel(
     if with_argmax:
         argacc[...] = jnp.full(argacc.shape, -1, jnp.int32)
 
+    if with_hub:
+        # Arena-served (hub) group: every source row comes from the
+        # persistent VMEM arena (slot-indexed) — no per-edge DMA.  Merges
+        # into the accumulator with a (greater value, then smaller source
+        # id) rule, which together with both streams being (dst, src)-sorted
+        # preserves the exact first-maximum-in-sorted-order argmax semantics
+        # of the single-stream kernel (ties are common: relu zeros).
+        def hub_group(off):
+            d = idx_hdstl[off]
+
+            @pl.when(d < r)
+            def _():
+                slots = [idx_hslot[off + j] for j in range(G)]
+                rows = [
+                    arena[pl.ds(pl.multiple_of(s * sub, sub), sub), :]
+                    for s in slots
+                ]
+                d8 = pl.multiple_of(d * sub, sub)
+                cur = acc[pl.ds(d8, sub), :]
+                if reduce == "sum":
+                    m = rows[0].astype(acc.dtype)
+                    for j in range(1, G):
+                        m = m + rows[j].astype(acc.dtype)
+                    acc[pl.ds(d8, sub), :] = cur + m
+                    return
+                m = rows[0]
+                for j in range(1, G):
+                    m = jnp.maximum(m, rows[j])
+                if with_argmax:
+                    # Compares in f32 (no 16-bit cmp lowering on v5e;
+                    # identity casts on the f32 path).  Pad slots read the
+                    # arena's identity row (-inf) and hub_map maps them to
+                    # the dummy id; they only hit when m is -inf, where
+                    # `dummy < cur_arg` never holds.
+                    m32 = m.astype(jnp.float32)
+                    ag = jnp.full(m.shape, -1, jnp.int32)
+                    for j in range(G - 1, -1, -1):
+                        hit = rows[j].astype(jnp.float32) == m32
+                        ag = jnp.where(hit, hub_map_ref[slots[j]], ag)
+                    cur32 = cur.astype(jnp.float32)
+                    cur_arg = argacc[pl.ds(d8, sub), :]
+                    upd = (m32 > cur32) | ((m32 == cur32) & (ag < cur_arg))
+                    argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
+                    acc[pl.ds(d8, sub), :] = jnp.where(upd, m, cur)
+                else:
+                    acc[pl.ds(d8, sub), :] = jnp.maximum(cur, m)
+
+        hub_pre, hub_one, hub_n = _hub_machinery(
+            hub_blk_ptr_ref[i], hub_blk_ptr_ref[i + 1],
+            hslot_hbm, hdstl_hbm, idx_hslot, idx_hdstl, hidx_sems,
+            hub_group)
+        hub_pre()
+        reg_n = jnp.maximum((e1 - e0) // G, 1)
+        steal = _make_steal(hub_one, hub_n, reg_n)
+    else:
+        def steal(hc):
+            return hc
+
     def edge_dma(slot, j, node):
         # ring slot holds G node-rows of ``sub`` sublanes each; all G copies
         # of a slot share one byte-counting semaphore.
@@ -230,7 +481,7 @@ def _spmm_fwd_kernel(
             sems.at[slot],
         )
 
-    def chunk_body(c, _):
+    def chunk_body(c, hcur):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
@@ -302,8 +553,18 @@ def _spmm_fwd_kernel(
                             )
                             ag = jnp.where(
                                 hit, idx_src[off + gi * G + j], ag)
-                        upd = m32 > cur.astype(jnp.float32)
                         cur_arg = argacc[pl.ds(d8, sub), :]
+                        upd = m32 > cur.astype(jnp.float32)
+                        if with_hub:
+                            # Stolen hub groups may have landed first, and
+                            # hub ids aren't ordered relative to this stream:
+                            # ties must resolve to the smaller source id
+                            # (first in (dst, src) order).  Without a hub the
+                            # stream's sort order makes strict-greater
+                            # sufficient, so the extra compare is hub-only.
+                            upd = upd | (
+                                (m32 == cur.astype(jnp.float32))
+                                & (ag < cur_arg))
                         argacc[pl.ds(d8, sub), :] = jnp.where(upd, ag, cur_arg)
                     acc[pl.ds(d8, sub), :] = jnp.maximum(cur, m)
                 else:
@@ -314,22 +575,34 @@ def _spmm_fwd_kernel(
                 start_group(gi + NG, slot)
 
         # scalar fori_loop iterations cost ~300 ns each regardless of body —
-        # retire U groups per iteration, then a short remainder loop.
-        def group_u(it, _):
+        # retire U groups per iteration, then a short remainder loop.  Hub
+        # groups are stolen in proportion to regular progress: their pure
+        # VPU work hides under the DMA service time the ring is waiting on.
+        def group_u(it, hc):
             for u in range(unroll):
                 group_body(it * unroll + u)
-            return 0
+            return steal(hc)
 
-        def group_1(gi, _):
+        def group_1(gi, hc):
             group_body(gi)
-            return 0
+            return steal(hc)
 
         n_iter = n_groups // unroll
-        jax.lax.fori_loop(0, n_iter, group_u, 0)
-        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
-        return 0
+        hc = jax.lax.fori_loop(0, n_iter, group_u, hcur)
+        hc = jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, hc)
+        return hc
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    hcur = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.int32(0), jnp.int32(0)))
+
+    if with_hub:
+        # Drain whatever the steal schedule left (always everything when
+        # the block has no regular groups at all).
+        def drain(h, carry):
+            hub_one(h)
+            return carry
+
+        jax.lax.fori_loop(hcur[0], hub_n, drain, 0)
 
     if reduce == "max":
         # empty rows still hold the -inf identity; zero them (DGL empty-row
@@ -343,16 +616,6 @@ def _spmm_fwd_kernel(
         out_ref[...] = acc[...].astype(out_ref.dtype)
     if with_argmax:
         arg_ref[...] = argacc[...]
-
-
-def _fwd_noarg_adapter(
-    blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref,
-    acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
-):
-    _spmm_fwd_kernel(
-        blk_ptr_ref, src_hbm, dstl_hbm, x_hbm, out_ref, None,
-        acc, argacc, ring, idx_src, idx_dstl, sems, idx_sems, **kw,
-    )
 
 
 def _run_spmm(
@@ -382,6 +645,8 @@ def _run_spmm(
         jnp.full((sub, lane), ident, dt),
         (dummy * sub, 0),
     )
+    hub = blocked.hub
+    with_hub = hub is not None
 
     out_shapes = [jax.ShapeDtypeStruct((n_pad * sub, lane), dt)]
     out_specs = [pl.BlockSpec((r * sub, lane), lambda i, *_: (i, 0),
@@ -392,27 +657,47 @@ def _run_spmm(
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _spmm_fwd_kernel if with_argmax else _fwd_noarg_adapter,
-        reduce=reduce, with_argmax=with_argmax, r=r,
+        _spmm_fwd_kernel,
+        reduce=reduce, with_argmax=with_argmax, with_hub=with_hub, r=r,
         dummy=blocked.n_pad_nodes - 1, sub=sub,
         unroll=1 if interpret else U,  # interpret-mode unroll is pure waste
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(blocked.n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=tuple(out_specs) if with_argmax else out_specs[0],
-        scratch_shapes=[
-            pltpu.VMEM((r * sub, lane), acc_dt),
-            pltpu.VMEM((r * sub, lane), jnp.int32)
-            if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
-            pltpu.VMEM((NG, G * sub, lane), dt),
+    scalar_args = [blocked.blk_ptr]
+    ins = [blocked.src, blocked.dst_local, x_flat]
+    scratch = [
+        pltpu.VMEM((r * sub, lane), acc_dt),
+        pltpu.VMEM((r * sub, lane), jnp.int32)
+        if with_argmax else pltpu.VMEM((8, 128), jnp.int32),
+        pltpu.VMEM((NG, G * sub, lane), dt),
+        pltpu.SMEM((4 * T_E,), jnp.int32),
+        pltpu.SMEM((4 * T_E,), jnp.int32),
+        pltpu.SemaphoreType.DMA((NG,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if with_hub:
+        k = hub.k
+        # Arena = hub rows gathered AFTER the identity fill, with the dummy
+        # row appended as slot k: pad slots of the hub stream read the
+        # identity and never win the merge.
+        x_hub = x_flat.reshape(blocked.n_pad_nodes, sub, lane)[
+            hub.ids].reshape((k + 1) * sub, lane)
+        scalar_args += [hub.blk_ptr, hub.ids]
+        ins += [hub.slot, hub.dstl, x_hub]
+        scratch += [
+            pltpu.VMEM(((k + 1) * sub, lane), dt),
             pltpu.SMEM((4 * T_E,), jnp.int32),
             pltpu.SMEM((4 * T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NG,)),
+            pltpu.SemaphoreType.DMA((1,)),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalar_args),
+        grid=(blocked.n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
+        out_specs=tuple(out_specs) if with_argmax else out_specs[0],
+        scratch_shapes=scratch,
     )
     fn = pl.pallas_call(
         kernel,
@@ -421,7 +706,7 @@ def _run_spmm(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    res = fn(blocked.blk_ptr, blocked.src, blocked.dst_local, x_flat)
+    res = fn(*scalar_args, *ins)
     if with_argmax:
         out, arg = res
         return out.reshape(n_pad, b, f_pad), arg.reshape(n_pad, b, f_pad)
@@ -429,12 +714,9 @@ def _run_spmm(
 
 
 def _masked_bwd_kernel(
-    blk_ptr_ref,
-    dst_hbm, srcl_hbm, ga_hbm,
-    dx_ref,
-    acc, ring, idx_dst, idx_srcl, sems, idx_sems,
-    *, r: int, dummy: int, arg_lane: int, packed: bool = True,
-    unroll: int = U,
+    blk_ptr_ref, *refs,
+    r: int, dummy: int, arg_lane: int, packed: bool = True,
+    unroll: int = U, with_hub: bool = False,
 ):
     """dx[s] = sum_{edges s->n} where(argsrc[n] == s, g[n], 0), grouped over
     the transpose blocked CSR (groups share the source row s).
@@ -453,10 +735,32 @@ def _masked_bwd_kernel(
     lanes (``arg_lane == lane``, one whole-lane equality hit test, DMA 2.0x
     the gradient width) — correctness over the last 20% of bytes when ids no
     longer fit in int16 halves."""
+    rest = list(refs)
+    hub_blk_ptr_ref = rest.pop(0) if with_hub else None
+    dst_hbm, srcl_hbm, ga_hbm = rest.pop(0), rest.pop(0), rest.pop(0)
+    if with_hub:
+        hslot_hbm, hsrcl_hbm, gahub_hbm = (
+            rest.pop(0), rest.pop(0), rest.pop(0))
+    dx_ref = rest.pop(0)
+    acc, ring, idx_dst, idx_srcl, sems, idx_sems = (
+        rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0),
+        rest.pop(0))
+    if with_hub:
+        arena, idx_hslot, idx_hsrcl, hub_sem, hidx_sems = (
+            rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0))
+    assert not rest, f"{len(rest)} unconsumed kernel refs"
+
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    if with_hub:
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(gahub_hbm, arena, hub_sem.at[0])
+            cp.start()
+            cp.wait()
 
     def idx_copies(c, b):
         # index arrays are 1024-tiled in HBM: DMA a T_E-aligned 2*T_E window
@@ -481,13 +785,59 @@ def _masked_bwd_kernel(
     lane = acc.shape[1]
     hi_w = lane - arg_lane
 
+    def hit_sum(get_grad_arg, s_global):
+        """Masked gradient of one fused row: hit-test the (packed) argmax
+        lanes against ``s_global`` and zero-select the gradient lanes.
+        ``get_grad_arg(lo, w)`` reads lanes [lo, lo+w) of the row."""
+        pk = pltpu.bitcast(get_grad_arg(lane, arg_lane), jnp.int32)
+        if packed:
+            lo_hit = ((pk ^ s_global) & 0xFFFF) == 0
+        else:  # full-width int32 ids (arg_lane == lane)
+            lo_hit = pk == s_global
+        buf = jnp.where(lo_hit, get_grad_arg(0, arg_lane), 0.0)
+        if packed and hi_w > 0:
+            hi_hit = ((pk >> 16) & 0xFFFF) == s_global
+            buf_hi = jnp.where(
+                hi_hit[:, :hi_w], get_grad_arg(arg_lane, hi_w), 0.0)
+            buf = jnp.concatenate([buf, buf_hi], axis=1)
+        return buf
+
+    if with_hub:
+        def hub_group(off):
+            sl = idx_hsrcl[off]
+
+            @pl.when(sl < r)
+            def _():
+                s_global = base_node + sl
+                bufs = []
+                for j in range(G):
+                    s = idx_hslot[off + j]
+                    row = arena[pl.ds(pl.multiple_of(s * 8, 8), 8), :]
+                    bufs.append(hit_sum(
+                        lambda lo, w, row=row: row[:, lo:lo + w], s_global))
+                while len(bufs) > 1:
+                    bufs = [a + b_ for a, b_ in zip(bufs[::2], bufs[1::2])]
+                sl8 = pl.multiple_of(sl * 8, 8)
+                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + bufs[0]
+
+        hub_pre, hub_one, hub_n = _hub_machinery(
+            hub_blk_ptr_ref[i], hub_blk_ptr_ref[i + 1],
+            hslot_hbm, hsrcl_hbm, idx_hslot, idx_hsrcl, hidx_sems,
+            hub_group)
+        hub_pre()
+        reg_n = jnp.maximum((e1 - e0) // G, 1)
+        steal = _make_steal(hub_one, hub_n, reg_n)
+    else:
+        def steal(hc):
+            return hc
+
     def edge_dma(slot, j, node):
         return pltpu.make_async_copy(
             ga_hbm.at[pl.ds(pl.multiple_of(node * 8, 8), 8)],
             ring.at[slot, pl.ds(j * 8, 8)],
             sems.at[slot])
 
-    def chunk_body(c, _):
+    def chunk_body(c, hcur):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
@@ -527,20 +877,8 @@ def _masked_bwd_kernel(
                 # tree sum.  pk lane k holds arg[k] (lo 16) and
                 # arg[arg_lane + k] (hi 16); both comparisons and both
                 # gradient slices are 128-lane aligned by construction.
-                pk = pltpu.bitcast(
-                    ring[slot, :, pl.ds(lane, arg_lane)], jnp.int32)
-                if packed:
-                    lo_hit = ((pk ^ s_global) & 0xFFFF) == 0
-                else:  # full-width int32 ids (arg_lane == lane)
-                    lo_hit = pk == s_global
-                buf = jnp.where(
-                    lo_hit, ring[slot, :, pl.ds(0, arg_lane)], 0.0)
-                if packed and hi_w > 0:
-                    hi_hit = ((pk >> 16) & 0xFFFF) == s_global
-                    buf_hi = jnp.where(
-                        hi_hit[:, :hi_w],
-                        ring[slot, :, pl.ds(arg_lane, hi_w)], 0.0)
-                    buf = jnp.concatenate([buf, buf_hi], axis=1)
+                buf = hit_sum(
+                    lambda lo, w: ring[slot, :, pl.ds(lo, w)], s_global)
                 h = G * 8
                 while h > 8:
                     half = h // 2
@@ -553,30 +891,36 @@ def _masked_bwd_kernel(
             def _():
                 start_group(gi + NG, slot)
 
-        def group_u(it, _):
+        def group_u(it, hc):
             for u in range(unroll):
                 group_body(it * unroll + u)
-            return 0
+            return steal(hc)
 
-        def group_1(gi, _):
+        def group_1(gi, hc):
             group_body(gi)
-            return 0
+            return steal(hc)
 
         n_iter = n_groups // unroll
-        jax.lax.fori_loop(0, n_iter, group_u, 0)
-        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
-        return 0
+        hc = jax.lax.fori_loop(0, n_iter, group_u, hcur)
+        hc = jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, hc)
+        return hc
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    hcur = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.int32(0), jnp.int32(0)))
+
+    if with_hub:
+        def drain(h, carry):
+            hub_one(h)
+            return carry
+
+        jax.lax.fori_loop(hcur[0], hub_n, drain, 0)
+
     dx_ref[...] = acc[...]
 
 
 def _masked_bwd16_kernel(
-    blk_ptr_ref,
-    dst_hbm, srcl_hbm, ga_hbm,
-    dx_ref,
-    acc, ring, idx_dst, idx_srcl, sems, idx_sems,
-    *, r: int, dummy: int, unroll: int = U,
+    blk_ptr_ref, *refs,
+    r: int, dummy: int, unroll: int = U, with_hub: bool = False,
 ):
     """bf16 variant of the masked backward: each node row interleaves the
     bf16 gradient lanes with int16 argmax lanes of EQUAL width, so one edge
@@ -591,10 +935,32 @@ def _masked_bwd16_kernel(
     f32 accumulator; dx_ref is bf16 (the input dtype).  Node ids must fit
     int16 (< 2^15, guarded by the caller); the dummy node's arg row is -1 so
     padded slots never hit."""
+    rest = list(refs)
+    hub_blk_ptr_ref = rest.pop(0) if with_hub else None
+    dst_hbm, srcl_hbm, ga_hbm = rest.pop(0), rest.pop(0), rest.pop(0)
+    if with_hub:
+        hslot_hbm, hsrcl_hbm, gahub_hbm = (
+            rest.pop(0), rest.pop(0), rest.pop(0))
+    dx_ref = rest.pop(0)
+    acc, ring, idx_dst, idx_srcl, sems, idx_sems = (
+        rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0),
+        rest.pop(0))
+    if with_hub:
+        arena, idx_hslot, idx_hsrcl, hub_sem, hidx_sems = (
+            rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0), rest.pop(0))
+    assert not rest, f"{len(rest)} unconsumed kernel refs"
+
     i = pl.program_id(0)
     e0 = blk_ptr_ref[i]
     e1 = blk_ptr_ref[i + 1]
     n_chunks = (e1 - e0 + T_E - 1) // T_E
+
+    if with_hub:
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(gahub_hbm, arena, hub_sem.at[0])
+            cp.start()
+            cp.wait()
 
     def idx_copies(c, b):
         aligned = pl.multiple_of(((e0 + c * T_E) // T_E) * T_E, T_E)
@@ -617,13 +983,50 @@ def _masked_bwd16_kernel(
     lane = acc.shape[1]
     sub = 16
 
+    def hit16(pk_i16, grad_i16, s_g):
+        # hit test in int32 (extend the int16 lanes): v5e Mosaic has no
+        # 16-bit cmpi lowering; ids < 2^15 so sign-extension is harmless
+        # and -1 sentinels never match.
+        grad = pltpu.bitcast(grad_i16, jnp.bfloat16)
+        return jnp.where(
+            pk_i16.astype(jnp.int32) == s_g, grad,
+            jnp.zeros((), jnp.bfloat16)).astype(jnp.float32)
+
+    if with_hub:
+        def hub_group(off):
+            sl = idx_hsrcl[off]
+
+            @pl.when(sl < r)
+            def _():
+                s_g = base_node + sl
+                bufs = []
+                for j in range(G):
+                    s = idx_hslot[off + j]
+                    row = arena[pl.ds(pl.multiple_of(s * sub, sub), sub), :]
+                    bufs.append(hit16(row[:, lane:], row[:, :lane], s_g))
+                while len(bufs) > 1:
+                    bufs = [a + b_ for a, b_ in zip(bufs[::2], bufs[1::2])]
+                sl16 = pl.multiple_of(sl * sub, sub)
+                acc[pl.ds(sl16, sub), :] = acc[pl.ds(sl16, sub), :] + bufs[0]
+
+        hub_pre, hub_one, hub_n = _hub_machinery(
+            hub_blk_ptr_ref[i], hub_blk_ptr_ref[i + 1],
+            hslot_hbm, hsrcl_hbm, idx_hslot, idx_hsrcl, hidx_sems,
+            hub_group)
+        hub_pre()
+        reg_n = jnp.maximum((e1 - e0) // G, 1)
+        steal = _make_steal(hub_one, hub_n, reg_n)
+    else:
+        def steal(hc):
+            return hc
+
     def edge_dma(slot, j, node):
         return pltpu.make_async_copy(
             ga_hbm.at[pl.ds(pl.multiple_of(node * sub, sub), sub)],
             ring.at[slot, pl.ds(j * sub, sub)],
             sems.at[slot])
 
-    def chunk_body(c, _):
+    def chunk_body(c, hcur):
         base = e0 + c * T_E
         n_groups = jnp.minimum(e1 - base, T_E) // G
         bsel = c % 2
@@ -658,16 +1061,10 @@ def _masked_bwd16_kernel(
 
             @pl.when(sl < r)
             def _():
-                # hit test in int32 (extend the int16 lanes): v5e Mosaic has
-                # no 16-bit cmpi lowering; ids < 2^15 so sign-extension is
-                # harmless and -1 sentinels never match.
                 s_g = base_node + sl
-                pk = ring[slot, :, pl.ds(lane, lane)].astype(jnp.int32)
-                grad = pltpu.bitcast(
-                    ring[slot, :, pl.ds(0, lane)], jnp.bfloat16)
-                buf = jnp.where(
-                    pk == s_g, grad, jnp.zeros((), jnp.bfloat16),
-                ).astype(jnp.float32)
+                buf = hit16(
+                    ring[slot, :, pl.ds(lane, lane)],
+                    ring[slot, :, pl.ds(0, lane)], s_g)
                 h = G * sub
                 while h > sub:
                     half = h // 2
@@ -680,21 +1077,30 @@ def _masked_bwd16_kernel(
             def _():
                 start_group(gi + NG, slot)
 
-        def group_u(it, _):
+        def group_u(it, hc):
             for u in range(unroll):
                 group_body(it * unroll + u)
-            return 0
+            return steal(hc)
 
-        def group_1(gi, _):
+        def group_1(gi, hc):
             group_body(gi)
-            return 0
+            return steal(hc)
 
         n_iter = n_groups // unroll
-        jax.lax.fori_loop(0, n_iter, group_u, 0)
-        jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, 0)
-        return 0
+        hc = jax.lax.fori_loop(0, n_iter, group_u, hcur)
+        hc = jax.lax.fori_loop(n_iter * unroll, n_groups, group_1, hc)
+        return hc
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    hcur = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (jnp.int32(0), jnp.int32(0)))
+
+    if with_hub:
+        def drain(h, carry):
+            hub_one(h)
+            return carry
+
+        jax.lax.fori_loop(hcur[0], hub_n, drain, 0)
+
     dx_ref[...] = acc[...].astype(dx_ref.dtype)
 
 
@@ -729,23 +1135,42 @@ def _run_masked_bwd16(
         ],
         axis=1,
     )
+    hub = blocked_t.hub
     kernel = functools.partial(
         _masked_bwd16_kernel, r=r, dummy=dummy,
-        unroll=1 if interpret else U)
+        unroll=1 if interpret else U, with_hub=hub is not None)
+    scalar_args = [blocked_t.blk_ptr]
+    ins = [blocked_t.src, blocked_t.dst_local, ga]
+    scratch = [
+        pltpu.VMEM((r * 16, lane), jnp.float32),
+        pltpu.VMEM((NG, G * 16, 2 * lane), jnp.int16),
+        pltpu.SMEM((4 * T_E,), jnp.int32),
+        pltpu.SMEM((4 * T_E,), jnp.int32),
+        pltpu.SemaphoreType.DMA((NG,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if hub is not None:
+        k = hub.k
+        # Arena = fused rows of the hub (most-fetched destination) nodes;
+        # slot k is the dummy's row, whose argmax lanes are -1 (never hits).
+        ga_hub = ga.reshape(blocked_t.n_pad_nodes, 16, 2 * lane)[
+            hub.ids].reshape((k + 1) * 16, 2 * lane)
+        scalar_args += [hub.blk_ptr]
+        ins += [hub.slot, hub.dstl, ga_hub]
+        scratch += [
+            pltpu.VMEM(((k + 1) * 16, 2 * lane), jnp.int16),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalar_args),
         grid=(blocked_t.n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
         out_specs=pl.BlockSpec((r * 16, lane), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((r * 16, lane), jnp.float32),
-            pltpu.VMEM((NG, G * 16, 2 * lane), jnp.int16),
-            pltpu.SMEM((4 * T_E,), jnp.int32),
-            pltpu.SMEM((4 * T_E,), jnp.int32),
-            pltpu.SemaphoreType.DMA((NG,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     fn = pl.pallas_call(
         kernel,
@@ -754,7 +1179,7 @@ def _run_masked_bwd16(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    dx = fn(blocked_t.blk_ptr, blocked_t.src, blocked_t.dst_local, ga)
+    dx = fn(*scalar_args, *ins)
     return dx.reshape(n_pad, b, f_pad)
 
 
@@ -808,13 +1233,31 @@ def _run_masked_bwd(
         packed16 = (lo & 0xFFFF) | (hi << 16)
         arg_as_f32 = jax.lax.bitcast_convert_type(packed16, jnp.float32)
     ga = jnp.concatenate([g.reshape(n_pad * 8, lane), arg_as_f32], axis=1)
+    hub = blocked_t.hub
     kernel = functools.partial(
         _masked_bwd_kernel, r=r, dummy=dummy, arg_lane=arg_lane,
-        packed=not big, unroll=1 if interpret else U)
+        packed=not big, unroll=1 if interpret else U,
+        with_hub=hub is not None)
+    scalar_args = [blocked_t.blk_ptr]
+    ins = [blocked_t.src, blocked_t.dst_local, ga]
+    hub_scratch = []
+    if hub is not None:
+        k = hub.k
+        ga_hub = ga.reshape(blocked_t.n_pad_nodes, 8, lane + arg_lane)[
+            hub.ids].reshape((k + 1) * 8, lane + arg_lane)
+        scalar_args += [hub.blk_ptr]
+        ins += [hub.slot, hub.dstl, ga_hub]
+        hub_scratch = [
+            pltpu.VMEM(((k + 1) * 8, lane + arg_lane), jnp.float32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SMEM((4 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalar_args),
         grid=(blocked_t.n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
         out_specs=pl.BlockSpec((r * 8, lane), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -824,7 +1267,7 @@ def _run_masked_bwd(
             pltpu.SMEM((4 * T_E,), jnp.int32),
             pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + hub_scratch,
     )
     fn = pl.pallas_call(
         kernel,
@@ -833,7 +1276,7 @@ def _run_masked_bwd(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    dx = fn(blocked_t.blk_ptr, blocked_t.src, blocked_t.dst_local, ga)
+    dx = fn(*scalar_args, *ins)
     return dx.reshape(n_pad, b, f_pad)
 
 
@@ -857,11 +1300,25 @@ class PallasGraph:
 
 def build_pallas_graph(
     src: np.ndarray, dst: np.ndarray, n_pad_nodes: int,
-    rows_per_block: int = DEFAULT_R,
+    rows_per_block: int = DEFAULT_R, hub_k: int = 0, hub_k_bwd: int = 0,
+    rows_per_block_bwd: int | None = None,
 ) -> PallasGraph:
+    """``hub_k`` enables the VMEM hub cache on the forward stream (top-k
+    most-fetched source rows served from a persistent arena, see HubStream);
+    ``hub_k_bwd`` does the same for the transpose stream used by backward
+    passes.  Arena VMEM cost is (k+1)*B*F_pad elements forward and ~2x that
+    backward (fused grad+arg rows) — account for it per direction via
+    pick_rows_per_block(arena_bytes=...) and ``rows_per_block_bwd`` (defaults
+    to ``rows_per_block``), so a backward-only arena doesn't shrink the
+    forward's blocks."""
     return PallasGraph(
-        fwd=build_blocked_csr(src, dst, n_pad_nodes, rows_per_block),
-        bwd=build_blocked_csr(dst, src, n_pad_nodes, rows_per_block),
+        fwd=build_blocked_csr(src, dst, n_pad_nodes, rows_per_block,
+                              hub_k=hub_k),
+        bwd=build_blocked_csr(
+            dst, src, n_pad_nodes,
+            rows_per_block if rows_per_block_bwd is None
+            else rows_per_block_bwd,
+            hub_k=hub_k_bwd),
     )
 
 

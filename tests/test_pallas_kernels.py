@@ -308,3 +308,151 @@ def test_pallas_matches_xla_path(setup):
         ref = np.asarray(spmm_max(g, jnp.asarray(xn[:, b])))
         out = np.asarray(pallas_spmm_max(pg, x, interpret=True))[:, b]
         np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Hub-cache (VMEM arena) stream split.
+# ---------------------------------------------------------------------------
+
+
+def _hub_graph(rng, n_real=200, e=3000, n_hot=5, frac=0.3):
+    """Random graph with a few hot sources, so the hub stream is non-trivial."""
+    src = rng.integers(0, n_real, e)
+    dst = rng.integers(0, n_real, e)
+    hot = rng.integers(0, n_hot, e)
+    src = np.where(rng.random(e) < frac, hot, src)
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _tie_heavy(rng, n_pad, b, f):
+    """relu'd, coarsely quantized values: per-lane cross-row ties are common,
+    the regime where the hub merge's tie rule must reproduce
+    first-maximum-in-sorted-order argmax exactly."""
+    x = np.maximum(rng.standard_normal((n_pad, b, f)), 0)
+    return ((x * 4).round() / 4).astype(np.float32)
+
+
+def test_hub_stream_split_roundtrip():
+    rng = np.random.default_rng(7)
+    src, dst = _hub_graph(rng)
+    n_pad = 256
+    bc = build_blocked_csr(src, dst, n_pad, rows_per_block=64, hub_k=8)
+    hub = bc.hub
+    assert hub is not None and hub.k == 8
+    ids = np.asarray(hub.ids)
+    assert ids[-1] == n_pad - 1  # identity/dummy slot appended
+
+    def edges(blk_ptr, vals, dstl, r, pad_val):
+        blk_ptr, vals, dstl = map(np.asarray, (blk_ptr, vals, dstl))
+        out = []
+        for i in range(len(blk_ptr) - 1):
+            for p in range(blk_ptr[i], blk_ptr[i + 1]):
+                if dstl[p] < r and vals[p] != pad_val:
+                    out.append((int(vals[p]), i * r + int(dstl[p])))
+        return out
+
+    reg = edges(bc.blk_ptr, bc.src, bc.dst_local, 64, n_pad - 1)
+    hu = [(int(ids[s]), d)
+          for s, d in edges(hub.blk_ptr, hub.slot, hub.dstl, 64, hub.k)]
+    assert len(hu) > 0  # the hot sources actually landed in the hub stream
+    assert sorted(reg + hu) == sorted(zip(src.tolist(), dst.tolist()))
+    # hub edges of each destination row are slot-listed in ascending global
+    # id order (the within-group first-hit tie rule relies on it)
+    blk_ptr, slot, dstl = map(np.asarray, (hub.blk_ptr, hub.slot, hub.dstl))
+    for i in range(len(blk_ptr) - 1):
+        rows = {}
+        for p in range(blk_ptr[i], blk_ptr[i + 1]):
+            if dstl[p] < 64 and slot[p] != hub.k:
+                rows.setdefault(int(dstl[p]), []).append(int(ids[slot[p]]))
+        for lst in rows.values():
+            assert lst == sorted(lst)
+
+
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_hub_max_exact_vs_single_stream(dt):
+    rng = np.random.default_rng(8)
+    src, dst = _hub_graph(rng)
+    n_pad, b, f = 256, 4, 512
+    x = jnp.asarray(_tie_heavy(rng, n_pad, b, f)).astype(dt)
+    pg0 = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+    pgh = build_pallas_graph(src, dst, n_pad, rows_per_block=64, hub_k=8)
+
+    def loss(pg, x_):
+        y = pallas_spmm_max(pg, x_, interpret=True).astype(jnp.float32)
+        return jnp.sum(jnp.sin(y * 0.3))
+
+    l0, g0 = jax.value_and_grad(lambda x_: loss(pg0, x_))(x)
+    lh, gh = jax.value_and_grad(lambda x_: loss(pgh, x_))(x)
+    y0 = pallas_spmm_max(pg0, x, interpret=True).astype(jnp.float32)
+    yh = pallas_spmm_max(pgh, x, interpret=True).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(yh))
+    np.testing.assert_array_equal(
+        np.asarray(g0.astype(jnp.float32)), np.asarray(gh.astype(jnp.float32)))
+
+
+def test_hub_sum_exact_vs_single_stream():
+    rng = np.random.default_rng(9)
+    src, dst = _hub_graph(rng)
+    n_pad, b, f = 256, 2, 512
+    # integer-valued input: reassociation-proof, so hub == non-hub exactly
+    x = jnp.asarray(
+        rng.integers(-4, 5, (n_pad, b, f)).astype(np.float32))
+    pg0 = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+    pgh = build_pallas_graph(
+        src, dst, n_pad, rows_per_block=64, hub_k=8, hub_k_bwd=8)
+    y0 = pallas_spmm_sum(pg0, x, interpret=True)
+    yh = pallas_spmm_sum(pgh, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(yh))
+    # sum VJP runs the transpose stream's hub split
+    g0 = jax.grad(lambda x_: jnp.sum(
+        pallas_spmm_sum(pg0, x_, interpret=True) ** 2))(x)
+    gh = jax.grad(lambda x_: jnp.sum(
+        pallas_spmm_sum(pgh, x_, interpret=True) ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(gh))
+
+
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_hub_max_bwd_stream_exact(dt):
+    """The masked (argmax-routed) backward with a hub transpose stream:
+    hub-destination fused rows come from the arena, the rest via DMA; the
+    summed gradient must equal the single-stream path.  Integer-valued
+    cotangents make the sum reassociation-proof, so equality is exact."""
+    rng = np.random.default_rng(10)
+    src, dst = _hub_graph(rng)
+    n_pad, b, f = 256, 4, 512
+    x = jnp.asarray(_tie_heavy(rng, n_pad, b, f)).astype(dt)
+    w = jnp.asarray(rng.integers(1, 9, (n_pad, b, f)).astype(np.float32))
+    pg0 = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+    pgh = build_pallas_graph(
+        src, dst, n_pad, rows_per_block=64, hub_k=8, hub_k_bwd=8)
+
+    def loss(pg, x_):
+        y = pallas_spmm_max(pg, x_.astype(dt), interpret=True)
+        return jnp.sum(y.astype(jnp.float32) * w)
+
+    x32 = x.astype(jnp.float32)
+    g0 = jax.grad(lambda x_: loss(pg0, x_))(x32)
+    gh = jax.grad(lambda x_: loss(pgh, x_))(x32)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(gh))
+
+
+def test_hub_max_bwd_big_node_fallback():
+    """>2^15 padded nodes route the bf16 backward through the unpacked-f32
+    kernel; the hub stream must ride along correctly there too."""
+    rng = np.random.default_rng(11)
+    src, dst = _hub_graph(rng, n_real=300, e=2000)
+    n_pad = (1 << 15) + 64
+    x_small = _tie_heavy(rng, 300, 2, 1024)
+    x = np.zeros((n_pad, 2, 1024), np.float32)
+    x[:300] = x_small
+    x = jnp.asarray(x, jnp.bfloat16)
+    pg0 = build_pallas_graph(src, dst, n_pad, rows_per_block=8)
+    pgh = build_pallas_graph(
+        src, dst, n_pad, rows_per_block=8, hub_k=8, hub_k_bwd=8)
+    g0 = jax.grad(lambda x_: jnp.sum(
+        pallas_spmm_max(pg0, x_, interpret=True).astype(jnp.float32)))(x)
+    gh = jax.grad(lambda x_: jnp.sum(
+        pallas_spmm_max(pgh, x_, interpret=True).astype(jnp.float32)))(x)
+    np.testing.assert_array_equal(
+        np.asarray(g0.astype(jnp.float32)), np.asarray(gh.astype(jnp.float32)))
