@@ -10,7 +10,9 @@ aggregated over the 10-fold CV ensemble that constitutes the real workload
 * Pallas fold-batched grouped-CSR kernels (f32, one DMA per edge for all
   folds),
 * Pallas bf16 message mode at the fold batch that amortizes the scalar-core
-  DMA-issue floor (B=32; measured plateau 171.5/175.4/176.2 M at B=24/28/32).
+  DMA-issue floor (B=32; measured plateau 171.5/175.4/176.2 M at B=24/28/32)
+  plus the backward VMEM hub cache (top-128 most-fetched fused rows served
+  from a persistent arena, work-stolen between DMA-ring groups).
 
 SOL accounting is per-path-honest: every path carries its own measured
 bytes-of-read-traffic per edge-fold (fwd row gather + fused bwd grad/argmax
@@ -198,7 +200,25 @@ def main():
             # argmax lanes at equal width.
             s16 = B16 * 512
             rpb16 = pick_rows_per_block(graph.n_nodes, s16)
-            pg16 = build_pallas_graph(src, dst, graph.n_nodes, rpb16)
+            # Hub cache (measured policy pick_hub_sizes): at this byte-bound
+            # stride the BACKWARD stream serves its top-k most-fetched fused
+            # rows from a persistent VMEM arena (zero per-edge DMA, work-
+            # stolen between ring groups); the forward hub stays off (the
+            # argmax-variant hub body costs about what its DMA saves).
+            from plagnn_tpu.ops.pallas.spmm_kernels import pick_hub_sizes
+            kf16, kb16 = pick_hub_sizes("auto", s16, 2)
+            rpb16b = pick_rows_per_block(
+                graph.n_nodes, s16,
+                arena_bytes=(kb16 + 1) * s16 * 4 if kb16 else 0)
+            pg16 = build_pallas_graph(
+                src, dst, graph.n_nodes, rpb16, hub_k=kf16, hub_k_bwd=kb16,
+                rows_per_block_bwd=rpb16b)
+            cov_b = 0.0
+            if pg16.bwd.hub is not None:
+                n_main = int(np.sum(
+                    np.asarray(pg16.bwd.src) != graph.n_nodes - 1))
+                cov_b = (e_real - n_main) / e_real
+                log(f"bf16 bwd hub: k={kb16}, edge coverage {cov_b:.3f}")
             xb16 = jnp.tile(
                 jnp.pad(x[:, None, :f_dim], ((0, 0), (0, 0), (0, 9))),
                 (1, 1, B16),
@@ -215,8 +235,10 @@ def main():
             candidates.append({
                 "name": "pallas_bf16_fold_batched",
                 "fn": p_fb16, "args": (pg16, xb16), "folds": B16,
-                # fwd row: stride bf16; bwd fused row: 16·(2·lane16) int16
-                "bytes_per_edge": (s16 * 2 + 16 * 2 * lane16 * 2) // B16,
+                # fwd row: stride bf16; bwd fused row: 16·(2·lane16) int16,
+                # of which the hub-covered fraction moves zero HBM bytes
+                "bytes_per_edge": int(
+                    s16 * 2 + (1.0 - cov_b) * 16 * 2 * lane16 * 2) // B16,
                 "dtype": "bfloat16",
             })
             pallas_built = True

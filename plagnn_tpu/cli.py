@@ -68,6 +68,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--pallas-interpret", action="store_true",
                    help="run the pallas kernels in interpret mode (CPU "
                         "verification of the --spmm pallas path)")
+    p.add_argument("--hub-cache", default="auto",
+                   help="pallas VMEM hub cache: 'auto' (measured policy — "
+                        "fwd hub at issue-bound strides, bwd hub at "
+                        "byte-bound strides), 'off', or an integer k "
+                        "(top-k most-fetched rows served from VMEM)")
     p.add_argument("--mesh", default="fold=1,graph=1",
                    help="multi-chip mesh 'fold=F,graph=P': P chips "
                         "edge-partition the graph (halo all_to_all per "
@@ -129,6 +134,10 @@ def _train(args, condition: str):
             )
         )
     mesh_fold, mesh_graph = parse_mesh(args.mesh)
+    if args.hub_cache not in ("auto", "off") and not args.hub_cache.isdigit():
+        raise SystemExit(
+            f"invalid --hub-cache {args.hub_cache!r}: expected 'auto', "
+            "'off', or an integer k")
     cfg = TrainConfig(
         lr=args.lr,
         fold_num=args.f,
@@ -142,6 +151,7 @@ def _train(args, condition: str):
         checkpoint_every=args.checkpoint_every,
         spmm_impl=args.spmm,
         pallas_interpret=args.pallas_interpret,
+        hub_cache=args.hub_cache,
         mesh_fold=mesh_fold,
         mesh_graph=mesh_graph,
         mesh_balance=not args.no_mesh_balance,

@@ -105,6 +105,31 @@ def pick_rows_per_block_budget(
     return r
 
 
+def pick_hub_sizes(hub_cache, stride: int, esize: int):
+    """Measured hub-cache policy (BASELINE.md round 3) → (hub_k, hub_k_bwd).
+
+    The forward hub pays in the DMA-issue-bound regime (node row < 16 KB:
+    the ~38 ns/edge scalar issue floor binds, and arena-served groups skip
+    it entirely); at byte-bound strides the argmax-variant hub body costs
+    about what its DMA saves, so the forward hub stays off and the BACKWARD
+    hub (fused grad+arg rows, 2/3 of the traffic) takes the arena instead.
+    k is halved until the arena fits beside the kernel working set
+    (v5e VMEM ~16 MB: bwd k=128 at stride 16384 fits, k=192 does not)."""
+    if hub_cache in ("off", "0", 0, None):
+        return 0, 0
+    row = stride * esize
+    if hub_cache == "auto":
+        kf, kb = (256, 0) if row < 16384 else (0, 128)
+    else:
+        k = int(hub_cache)
+        kf, kb = (k, 0) if row < 16384 else (0, k)
+    while kf and (kf + 1) * stride * esize > (6 << 20):
+        kf //= 2
+    while kb and (kb + 1) * stride * 2 * esize > (9 << 20):
+        kb //= 2
+    return kf, kb
+
+
 def pick_rows_per_block(
     n_pad_nodes: int, stride: int, budget_bytes: int = 12 << 20,
     arena_bytes: int = 0,
@@ -234,28 +259,34 @@ def build_blocked_csr(
         )
 
     hub = None
-    if hub_k > 0 and n_edges:
-        fetch_counts = np.bincount(src, minlength=n_pad_nodes)
-        top = np.argsort(-fetch_counts, kind="stable")[:hub_k]
-        top = top[fetch_counts[top] > 0]
-        if len(top):
-            k = len(top)
-            slot_of = np.full(n_pad_nodes, -1, np.int64)
-            slot_of[top] = np.arange(k)
-            is_hub = slot_of[src] >= 0
-            hsrc, hdst = src[is_hub], dst[is_hub]
-            hb, hs, hd = _build_stream(
-                slot_of[hsrc], hdst, n_pad_nodes, r, pad_src=k,
-                sort_key=hsrc)
-            hub = HubStream(
-                blk_ptr=jnp.asarray(hb, jnp.int32),
-                slot=jnp.asarray(hs),
-                dstl=jnp.asarray(hd),
-                ids=jnp.asarray(
-                    np.append(top, dummy).astype(np.int32)),
-                k=k,
-            )
-            src, dst = src[~is_hub], dst[~is_hub]
+    if hub_k > 0:
+        # k is always exactly hub_k (unused slots map to the dummy row and
+        # are never referenced) so per-chip hub streams share one pytree
+        # structure and stack cleanly in the mesh partitioner.
+        if n_edges:
+            fetch_counts = np.bincount(src, minlength=n_pad_nodes)
+            top = np.argsort(-fetch_counts, kind="stable")[:hub_k]
+            top = top[fetch_counts[top] > 0]
+        else:
+            top = np.zeros(0, np.int64)
+        k = hub_k
+        ids = np.full(k + 1, dummy, np.int64)
+        ids[: len(top)] = top
+        slot_of = np.full(n_pad_nodes, -1, np.int64)
+        slot_of[top] = np.arange(len(top))
+        is_hub = slot_of[src] >= 0 if n_edges else np.zeros(0, bool)
+        hsrc, hdst = src[is_hub], dst[is_hub]
+        hb, hs, hd = _build_stream(
+            slot_of[hsrc], hdst, n_pad_nodes, r, pad_src=k,
+            sort_key=hsrc)
+        hub = HubStream(
+            blk_ptr=jnp.asarray(hb, jnp.int32),
+            slot=jnp.asarray(hs),
+            dstl=jnp.asarray(hd),
+            ids=jnp.asarray(ids.astype(np.int32)),
+            k=k,
+        )
+        src, dst = src[~is_hub], dst[~is_hub]
 
     blk_ptr, src_r, dst_r = _build_stream(src, dst, n_pad_nodes, r,
                                           pad_src=dummy)

@@ -101,41 +101,60 @@ class PartitionedGraph:
     node_row: Optional[jax.Array] = None
 
 
-def _stack_pallas_graphs(edge_sets, n_pad_nodes: int, rows_per_block: int):
+def _stack_pallas_graphs(edge_sets, n_pad_nodes: int, rows_per_block: int,
+                         hub_k: int = 0, hub_k_bwd: int = 0):
     """Per-chip PallasGraph over harmonized local gather spaces, array fields
     stacked with a leading chip axis (meta dims forced equal: arrays padded
-    to the max length with dummy edge slots the kernels never dereference)."""
+    to the max length with dummy edge slots the kernels never dereference).
+    ``hub_k``/``hub_k_bwd`` stack per-chip VMEM hub caches too — the builder
+    emits exactly k slots per chip, so the HubStream pytrees line up."""
     from ..ops.pallas.spmm_kernels import (
-        BlockedCsr, PallasGraph, build_blocked_csr,
+        BlockedCsr, HubStream, PallasGraph, build_blocked_csr,
     )
 
     dummy = n_pad_nodes - 1
 
-    def stack_blocked(pairs):
+    def stack_blocked(pairs, hk):
         csrs = [
-            build_blocked_csr(s, d, n_pad_nodes, rows_per_block)
+            build_blocked_csr(s, d, n_pad_nodes, rows_per_block, hub_k=hk)
             for s, d in pairs
         ]
         ln = max(c.src.shape[0] for c in csrs)
 
-        def pad1(a, fill):
+        def pad1(a, fill, n):
             a = np.asarray(a)
-            return np.pad(a, (0, ln - len(a)), constant_values=fill)
+            return np.pad(a, (0, n - len(a)), constant_values=fill)
+
+        hub = None
+        if hk > 0:
+            hln = max(c.hub.slot.shape[0] for c in csrs)
+            hub = HubStream(
+                blk_ptr=jnp.asarray(
+                    np.stack([np.asarray(c.hub.blk_ptr) for c in csrs])),
+                slot=jnp.asarray(
+                    np.stack([pad1(c.hub.slot, hk, hln) for c in csrs])),
+                dstl=jnp.asarray(np.stack(
+                    [pad1(c.hub.dstl, rows_per_block, hln) for c in csrs])),
+                ids=jnp.asarray(
+                    np.stack([np.asarray(c.hub.ids) for c in csrs])),
+                k=hk,
+            )
 
         return BlockedCsr(
             blk_ptr=jnp.asarray(np.stack([np.asarray(c.blk_ptr) for c in csrs])),
-            src=jnp.asarray(np.stack([pad1(c.src, dummy) for c in csrs])),
-            dst_local=jnp.asarray(
-                np.stack([pad1(c.dst_local, rows_per_block) for c in csrs])),
+            src=jnp.asarray(np.stack([pad1(c.src, dummy, ln) for c in csrs])),
+            dst_local=jnp.asarray(np.stack(
+                [pad1(c.dst_local, rows_per_block, ln) for c in csrs])),
             n_blocks=csrs[0].n_blocks,
             rows_per_block=rows_per_block,
             n_pad_nodes=n_pad_nodes,
             n_edges=max(c.n_edges for c in csrs),
+            hub=hub,
         )
 
     return PallasGraph(
-        fwd=stack_blocked([(s, d) for s, d in edge_sets]),
-        bwd=stack_blocked([(d, s) for s, d in edge_sets]),
+        fwd=stack_blocked([(s, d) for s, d in edge_sets], hub_k),
+        bwd=stack_blocked([(d, s) for s, d in edge_sets], hub_k_bwd),
     )
 
 
@@ -150,6 +169,8 @@ def partition_graph(
     widths: Tuple[int, ...] = DEFAULT_WIDTHS,
     overlap: bool = True,
     pallas_rows_per_block: Optional[int] = None,
+    pallas_hub_k: int = 0,
+    pallas_hub_k_bwd: int = 0,
     balance: bool = False,
 ) -> PartitionedGraph:
     """Host-side 1-D destination-block partitioner.
@@ -291,10 +312,14 @@ def partition_graph(
     pallas_local = pallas_interior = pallas_boundary = None
     if pallas_rows_per_block is not None:
         r_pb = pallas_rows_per_block
-        pallas_local = _stack_pallas_graphs(chip_edges, n_pad_nodes, r_pb)
+        hk, hkb = pallas_hub_k, pallas_hub_k_bwd
+        pallas_local = _stack_pallas_graphs(
+            chip_edges, n_pad_nodes, r_pb, hub_k=hk, hub_k_bwd=hkb)
         if overlap:
+            # the interior carries the bulk of the edges; the boundary
+            # stream is small, so its hub cache would not pay for itself
             pallas_interior = _stack_pallas_graphs(
-                interior_edges, n_pad_nodes, r_pb)
+                interior_edges, n_pad_nodes, r_pb, hub_k=hk, hub_k_bwd=hkb)
             pallas_boundary = _stack_pallas_graphs(
                 boundary_edges, n_pad_nodes, r_pb)
     # All meta dims now match; stack arrays with a leading chip axis.

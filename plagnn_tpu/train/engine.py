@@ -64,6 +64,12 @@ class TrainConfig:
     resume: bool = True           # skip rounds whose artifacts already exist
     spmm_impl: str = "xla"        # 'xla' (bucketed ELL) | 'pallas' (fold-batched kernels)
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
+    # VMEM hub cache for the pallas kernels: top-k most-fetched rows are
+    # served from a persistent arena (zero per-edge DMA), work-stolen
+    # between DMA-ring groups.  'auto' applies the measured policy
+    # (pick_hub_sizes): forward hub at issue-bound strides, backward hub at
+    # byte-bound strides.  'off' disables; an integer forces k.
+    hub_cache: str = "auto"
     # Mid-round checkpointing: persist params/opt/history every N epochs so
     # a crash loses at most N epochs of one fold batch instead of the whole
     # round (the reference can't resume training at all, SURVEY.md §5).
@@ -362,6 +368,9 @@ def _checkpoint_fingerprint(cfg: "TrainConfig") -> dict:
         "fold_seeds": tuple(int(s) for s in cfg.fold_seeds),
         "spmm_impl": str(cfg.spmm_impl),
         "agg_dtype": "bfloat16" if agg is not None else "float32",
+        # hub split changes the f32 add order of the masked backward (ulp-
+        # level trajectory drift) — resuming across it must refuse too
+        "hub_cache": str(getattr(cfg, "hub_cache", "auto")),
         "seed": int(cfg.seed),
         "lr": float(cfg.lr),
         "model": str(cfg.model),
@@ -462,9 +471,11 @@ def train(
         src_np = np.asarray(graph.src)[:e]   # self-loops already included
         dst_np = np.asarray(graph.dst)[:e]
         rpb = None
+        kf = kb = 0
         if cfg.spmm_impl == "pallas":
             from ..models.batched import packed_stride
-            from ..ops.pallas.spmm_kernels import pick_rows_per_block_budget
+            from ..ops.pallas.spmm_kernels import (
+                pick_hub_sizes, pick_rows_per_block_budget)
             from ..utils.precision import aggregation_dtype
 
             align = 2048 if aggregation_dtype() is not None else 1024
@@ -473,10 +484,17 @@ def train(
                 packed_stride(b_local, f, align)
                 for f in (in_feats, cfg.hidden[0], cfg.hidden[1])
             )
-            rpb = pick_rows_per_block_budget(stride)
+            esize = 2 if aggregation_dtype() is not None else 4
+            kf, kb = pick_hub_sizes(cfg.hub_cache, stride, esize)
+            rpb = pick_rows_per_block_budget(
+                stride,
+                arena_bytes=max(
+                    (kf + 1) * stride * esize if kf else 0,
+                    (kb + 1) * stride * 2 * esize if kb else 0))
         pgraph = partition_graph(
             src_np, dst_np, graph.n_real_nodes, n_chips=cfg.mesh_graph,
             add_self_loops=False, pallas_rows_per_block=rpb,
+            pallas_hub_k=kf, pallas_hub_k_bwd=kb,
             balance=bool(cfg.mesh_balance) and cfg.mesh_graph > 1,
         )
         mesh = make_mesh(n_graph=cfg.mesh_graph, n_fold=cfg.mesh_fold)
@@ -504,8 +522,18 @@ def train(
             packed_stride(cfg.fold_batch, f, align)
             for f in (in_feats, cfg.hidden[0], cfg.hidden[1])
         )
-        rpb = pick_rows_per_block(graph.n_nodes, stride)
-        pallas_graph = build_pallas_graph(src_np, dst_np, graph.n_nodes, rpb)
+        esize = 2 if aggregation_dtype() is not None else 4
+        from ..ops.pallas.spmm_kernels import pick_hub_sizes
+        kf, kb = pick_hub_sizes(cfg.hub_cache, stride, esize)
+        rpb = pick_rows_per_block(
+            graph.n_nodes, stride,
+            arena_bytes=(kf + 1) * stride * esize if kf else 0)
+        rpb_b = pick_rows_per_block(
+            graph.n_nodes, stride,
+            arena_bytes=(kb + 1) * stride * 2 * esize if kb else 0)
+        pallas_graph = build_pallas_graph(
+            src_np, dst_np, graph.n_nodes, rpb, hub_k=kf, hub_k_bwd=kb,
+            rows_per_block_bwd=rpb_b)
         run, tx = make_batched_fold_runner(
             graph, pallas_graph, feats, labels, class_weight, node_valid, cfg,
             val_width=val_width)

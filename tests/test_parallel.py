@@ -142,19 +142,25 @@ def test_sharded_train_step_matches_single_chip(bundle):
         )
 
 
-@pytest.mark.parametrize("overlap", [True, False])
-def test_sharded_pallas_step_matches_single_chip(bundle, overlap):
+@pytest.mark.parametrize("overlap,hub", [(True, 0), (False, 0), (True, 4)])
+def test_sharded_pallas_step_matches_single_chip(bundle, overlap, hub):
     """The fold-batched Pallas kernels inside the shard_map program (per-chip
     BlockedCsr over the local gather space, halo all_to_all between) must
     reproduce the single-chip XLA training step exactly — the two halves of
-    the north star in one program (VERDICT r1 missing #1)."""
+    the north star in one program (VERDICT r1 missing #1).  The hub variant
+    additionally serves each chip's top-k rows from the stacked VMEM arenas
+    (fwd and transpose streams)."""
     from plagnn_tpu.parallel import make_sharded_pallas_train_step
 
     ppi, feats, loc, label_list, graph, _ = bundle
     pgp = partition_graph(
         ppi.row, ppi.col, N, n_chips=4, add_self_loops=True,
         widths=(4, 16, 64), overlap=overlap, pallas_rows_per_block=8,
+        pallas_hub_k=hub, pallas_hub_k_bwd=hub,
     )
+    if hub:
+        assert pgp.pallas_local.fwd.hub is not None
+        assert pgp.pallas_local.bwd.hub is not None
     assert pgp.pallas_local is not None
     assert (pgp.pallas_interior is not None) == overlap
     mesh = make_mesh(n_graph=4, n_fold=2)
