@@ -37,7 +37,7 @@ def main():
     from plagnn_tpu.utils.precision import set_aggregation_dtype
     from plagnn_tpu.models.batched import packed_stride
     from plagnn_tpu.ops.pallas.spmm_kernels import (
-        build_pallas_graph, pick_rows_per_block,
+        build_pallas_graph, pick_hub_sizes, pick_rows_per_block,
     )
 
     dev = jax.devices()[0]
@@ -62,8 +62,20 @@ def main():
     for agg_dtype in (None, "bfloat16"):
         align = 2048 if agg_dtype else 1024
         stride = max(packed_stride(folds, f, align) for f in (503, 400, 300))
-        rpb = pick_rows_per_block(graph.n_nodes, stride)
-        pg = build_pallas_graph(src, dst, graph.n_nodes, rpb)
+        # Mirror the engine's --hub-cache auto policy (engine.py pallas
+        # branch): fwd hub at issue-bound strides, bwd hub at byte-bound.
+        esize = 2 if agg_dtype else 4
+        kf, kb = pick_hub_sizes("auto", stride, esize)
+        rpb = pick_rows_per_block(
+            graph.n_nodes, stride,
+            arena_bytes=(kf + 1) * stride * esize if kf else 0)
+        rpb_b = pick_rows_per_block(
+            graph.n_nodes, stride,
+            arena_bytes=(kb + 1) * stride * 2 * esize if kb else 0)
+        log(f"hub policy: kf={kf} kb={kb} rpb={rpb}/{rpb_b} stride={stride}")
+        pg = build_pallas_graph(
+            src, dst, graph.n_nodes, rpb, hub_k=kf, hub_k_bwd=kb,
+            rows_per_block_bwd=rpb_b)
         set_aggregation_dtype(agg_dtype)
         try:
             for auc in (False, True):
