@@ -523,7 +523,7 @@ def make_sharded_fold_runner(
     row_map = pgraph.row_map if balanced else None
     node_valid = (row_map >= 0) if balanced else jnp.arange(n_rows) < n_real
 
-    def epoch_step(x_sh, y_sh, labels_g, carry, e_idx):
+    def epoch_step(x_sh, y_sh, labels_g, carry, e_idx, n_epochs):
         params, opt_state, tr_s, va_g, alpha, last_auc = carry
         params, opt_state, train_losses, probs_s = step(
             params, opt_state, x_sh, y_sh, tr_s)
@@ -559,8 +559,11 @@ def make_sharded_fold_runner(
 
                 return jax.vmap(one)(probs, va_g)
 
+            from ..train.engine import _auc_sample_now
+
             last_auc = jax.lax.cond(
-                e_idx % auc_every == 0, calc_all, lambda _: last_auc, 0)
+                _auc_sample_now(e_idx, n_epochs, auc_every), calc_all,
+                lambda _: last_auc, 0)
             metrics["val"]["auc_micro"] = last_auc[0]
             metrics["val"]["auc_macro"] = last_auc[1]
         return (params, opt_state, tr_s, va_g, alpha, last_auc), (metrics, probs)
@@ -575,7 +578,8 @@ def make_sharded_fold_runner(
 
         def body(carry, x):
             state, _ = carry
-            state, (metrics, probs) = epoch_step(x_sh, y_sh, labels_g, state, x)
+            state, (metrics, probs) = epoch_step(
+                x_sh, y_sh, labels_g, state, x, n_epochs)
             return (state, probs), metrics
 
         (state, last_probs), history = jax.lax.scan(
@@ -621,4 +625,5 @@ def make_sharded_fold_runner(
             probs = probs[:, gather]
         return params_batch, opt_batch, probs, history
 
+    run.init_opt = lambda pb: jax.vmap(tx.init)(pb)
     return run, tx

@@ -158,3 +158,38 @@ def test_artifact_contract(tmp_path, bundle):
         header = fh.readline().strip().split("\t")
     assert header == ["round", "fold", "flag-t0v1", "index", "true label", "predict label"]
     assert os.path.exists(os.path.join(path, "txt_log.txt"))
+
+
+def test_final_epoch_auc_always_fresh(tmp_path, bundle):
+    """The history's final AUC must equal a fresh computation from the saved
+    final-epoch probabilities even when epoch_num is off the auc_every
+    cadence (VERDICT r3 weak #4: epoch_num=7, auc_every=5 would otherwise
+    carry the epoch-5 sample into epochs 6 and 7's slots)."""
+    ppi, feats, loc, label_list, graph = bundle
+    cfg = TrainConfig(
+        lr=1e-3, fold_num=2, epoch_num=7, alpha_list=(0.1,),
+        fold_seeds=(12,), fold_batch=2, compute_auc=True, auc_every=5,
+        log_every=5, verbose=False,
+    )
+    path = str(tmp_path / "log") + os.sep
+    train(graph, pad_features(feats, graph.n_nodes),
+          pad_features(loc, graph.n_nodes), label_list, loc, cfg, path)
+
+    from plagnn_tpu.train.metrics import macro_auc, micro_auc
+
+    _, va_masks = fold_node_masks(label_list, graph.n_nodes, 2, 12)
+    with open(os.path.join(path, "fig_data_1.json")) as fh:
+        fig = json.load(fh)
+    labels_p = jnp.asarray(pad_features(loc, graph.n_nodes))
+    for f in (1, 2):
+        # saved logits are the probs the final epoch's metrics used
+        probs = np.load(os.path.join(path, f"1_{f}_loc_logits.npy"))
+        probs_p = jnp.asarray(pad_features(probs, graph.n_nodes))
+        mask = jnp.asarray(va_masks[f - 1])
+        fresh_mi = float(micro_auc(probs_p, labels_p, mask))
+        fresh_ma = float(macro_auc(probs_p, labels_p, mask))
+        curve_mi = fig["validation"]["0.1"][str(f)]["auc_micro"]
+        curve_ma = fig["validation"]["0.1"][str(f)]["auc_macro"]
+        assert len(curve_mi) == 7
+        np.testing.assert_allclose(curve_mi[-1], fresh_mi, rtol=1e-5)
+        np.testing.assert_allclose(curve_ma[-1], fresh_ma, rtol=1e-5)

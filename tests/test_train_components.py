@@ -188,10 +188,16 @@ def test_sampled_auc_matches_full_mask():
     full = (micro_auc(probs, labels, mask), macro_auc(probs, labels, mask))
     last = (jnp.float32(0.25), jnp.float32(0.75))
     got = _sampled_auc(probs, labels, mask, jnp.int32(0), last,
-                       v_pad=24, auc_every=5)
+                       v_pad=24, auc_every=5, n_epochs=200)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(full[0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(full[1]), rtol=1e-6)
     # off epoch: carries the last sample untouched
     off = _sampled_auc(probs, labels, mask, jnp.int32(3), last,
                        v_pad=24, auc_every=5)
     assert float(off[0]) == 0.25 and float(off[1]) == 0.75
+    # the FINAL epoch always samples fresh, even off-cadence (200 % 5 == 0
+    # means the last on-cadence sample would otherwise be epoch 195)
+    fin = _sampled_auc(probs, labels, mask, jnp.int32(199), last,
+                       v_pad=24, auc_every=5, n_epochs=200)
+    np.testing.assert_allclose(np.asarray(fin[0]), np.asarray(full[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fin[1]), np.asarray(full[1]), rtol=1e-6)
