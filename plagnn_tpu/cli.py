@@ -78,7 +78,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
                         "edge-partition the graph (halo all_to_all per "
                         "layer), F groups data-parallelize the fold "
                         "ensemble; needs F*P devices and fold-batch %% F "
-                        "== 0 (default: single chip)")
+                        "== 0 (default: single chip).  'auto' (or 'auto:D') "
+                        "runs the mesh planner over the halo-bytes model "
+                        "and picks the factorization + fold batch "
+                        "(parallel/planner.py)")
     p.add_argument("--no-mesh-balance", action="store_true",
                    help="disable the balanced (degree-snake) edge partition "
                         "and use contiguous node-id blocks (diagnostic; "
@@ -86,7 +89,21 @@ def _add_train_flags(p: argparse.ArgumentParser):
 
 
 def parse_mesh(spec: str):
-    """'fold=F,graph=P' (either key optional) → (mesh_fold, mesh_graph)."""
+    """'fold=F,graph=P' (either key optional) → (mesh_fold, mesh_graph);
+    'auto' / 'auto:D' → ('auto', D-or-None) for the mesh planner."""
+    s = str(spec).strip()
+    if s == "auto" or s.startswith("auto:"):
+        n = None
+        if ":" in s:
+            try:
+                n = int(s.split(":", 1)[1])
+            except ValueError:
+                raise SystemExit(
+                    f"invalid --mesh {spec!r}: expected 'auto' or 'auto:D'")
+            if n < 1:
+                raise SystemExit(
+                    f"invalid --mesh {spec!r}: device count must be >= 1")
+        return ("auto", n)
     vals = {"fold": 1, "graph": 1}
     for part in str(spec).split(","):
         part = part.strip()
@@ -133,7 +150,25 @@ def _train(args, condition: str):
                 args.lr, args.f, args.e, list(map(float, args.a)), args.d
             )
         )
-    mesh_fold, mesh_graph = parse_mesh(args.mesh)
+    mesh_spec = parse_mesh(args.mesh)
+    fold_batch = args.fold_batch
+    if mesh_spec[0] == "auto":
+        import jax
+
+        from .parallel.planner import plan_mesh
+
+        n_dev = mesh_spec[1] or len(jax.devices())
+        g = bundle.graph
+        e = g.n_edges
+        plan = plan_mesh(
+            n_dev, np.asarray(g.src)[:e], np.asarray(g.dst)[:e],
+            g.n_real_nodes, total_jobs=args.rounds * args.f)
+        print(plan.summary())
+        mesh_fold = plan.chosen.mesh_fold
+        mesh_graph = plan.chosen.mesh_graph
+        fold_batch = plan.chosen.fold_batch
+    else:
+        mesh_fold, mesh_graph = mesh_spec
     if args.hub_cache not in ("auto", "off") and not args.hub_cache.isdigit():
         raise SystemExit(
             f"invalid --hub-cache {args.hub_cache!r}: expected 'auto', "
@@ -145,7 +180,7 @@ def _train(args, condition: str):
         alpha_list=tuple(map(float, args.a)),
         fold_seeds=tuple(FOLD_SEEDS[: args.rounds]),
         seed=args.seed,
-        fold_batch=args.fold_batch,
+        fold_batch=fold_batch,
         compute_auc=not args.no_auc,
         auc_every=args.auc_every,
         checkpoint_every=args.checkpoint_every,
@@ -210,6 +245,25 @@ def main(argv=None):
     p.add_argument("--alpha-dist", action="store_true",
                    help="also render per-organelle distribution bars + JS "
                         "distance (figure.py fig_alpha)")
+
+    p = sub.add_parser(
+        "plan-mesh",
+        help="score (fold, graph) mesh factorizations for D devices via the "
+             "halo-bytes model and print the production recommendation")
+    p.add_argument("--devices", type=int, required=True,
+                   help="device count to plan for (e.g. 16 = 2 v5e hosts)")
+    p.add_argument("--data-root", default=None,
+                   help="plan over this dataset's PPI_normal.npz; default: "
+                        "the synthetic PPI-scale graph")
+    p.add_argument("--jobs", type=int, default=100,
+                   help="fold jobs in the run (rounds x folds; reference "
+                        "train.py:162-178 = 100)")
+    p.add_argument("--nodes", type=int, default=24041)
+    p.add_argument("--edges", type=int, default=700000)
+    p.add_argument("--include-2d", action="store_true",
+                   help="also model 2-D source x destination grid partitions "
+                        "(candidates only; not an implemented runner)")
+    p.add_argument("--part", default="v5e", choices=["v5e", "v5p"])
 
     p = sub.add_parser("synth", help="write a synthetic dataset bundle")
     p.add_argument("--data-root", default="data")
@@ -300,6 +354,32 @@ def main(argv=None):
                 if os.path.isdir(ld):
                     fig_alpha(ld, os.path.join(ld, "alpha_dist.png"),
                               label_dist)
+    elif args.cmd == "plan-mesh":
+        import numpy as np
+
+        from .parallel.planner import plan_mesh
+
+        if args.data_root:
+            import scipy.sparse as sp
+
+            ppi = sp.load_npz(os.path.join(
+                args.data_root, "generate_materials", "PPI_normal.npz"
+            )).tocoo()
+            n = ppi.shape[0]
+            loops = np.arange(n, dtype=np.int64)
+            src = np.concatenate([np.asarray(ppi.row, np.int64), loops])
+            dst = np.concatenate([np.asarray(ppi.col, np.int64), loops])
+        else:
+            from .data.synthetic import powerlaw_ppi
+
+            ppi = powerlaw_ppi(args.nodes, args.edges, seed=70)
+            n = args.nodes
+            loops = np.arange(n, dtype=np.int64)
+            src = np.concatenate([np.asarray(ppi.row, np.int64), loops])
+            dst = np.concatenate([np.asarray(ppi.col, np.int64), loops])
+        plan = plan_mesh(args.devices, src, dst, n, total_jobs=args.jobs,
+                         include_2d=args.include_2d, part=args.part)
+        print(plan.summary())
     elif args.cmd == "synth":
         _write_synth(args)
     elif args.cmd == "bench":

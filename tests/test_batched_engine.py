@@ -19,6 +19,7 @@ from plagnn_tpu.ops.pallas.spmm_kernels import build_pallas_graph
 N = 120
 
 
+@pytest.mark.slow
 def test_batched_runner_matches_vmapped(rng):
     ppi, feats, loc, label_list = synthetic_dataset(
         n_nodes=N, n_edges=700, seed=7, feature_dims=(3, 10, 10)
@@ -70,6 +71,7 @@ def test_batched_runner_matches_vmapped(rng):
         rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_runner_bf16_agg_close_to_f32(rng):
     """--agg-dtype bfloat16 on the pallas path: the fold-batched runner must
     consume the flag (it was silently ignored in round 1) and track the f32

@@ -5,6 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from plagnn_tpu.train.checkpoint import load_params, round_complete, save_params
+import pytest
 
 
 def test_save_load_roundtrip(tmp_path):
@@ -70,6 +71,7 @@ def _tiny_train(tmp_dir, **cfg_kw):
     }
 
 
+@pytest.mark.slow
 def test_chunked_training_transparent(tmp_path):
     """checkpoint_every must not change the numerics: chunked scans (5 epochs
     as 2+2+1) produce the same artifacts as one scan."""
@@ -83,6 +85,7 @@ def test_chunked_training_transparent(tmp_path):
                 if f.startswith("ckpt_")]
 
 
+@pytest.mark.slow
 def test_kill_resume_mid_round(tmp_path):
     """A crash after the first chunk leaves a checkpoint; re-running resumes
     from it and produces artifacts identical to an uninterrupted run."""
@@ -110,6 +113,7 @@ def test_kill_resume_mid_round(tmp_path):
     assert not [f for f in os.listdir(boom_dir) if f.startswith("ckpt_")]
 
 
+@pytest.mark.slow
 def test_resume_refuses_config_drift(tmp_path):
     """Resuming a mid-round checkpoint under a different fold_batch (which
     changes chunk offsets and every saved leaf's batch width) must refuse
@@ -213,6 +217,7 @@ def test_resume_refuses_wrong_schema_version(tmp_path):
         _tiny_train(tmp_path / "crashy", checkpoint_every=2)
 
 
+@pytest.mark.slow
 def test_cross_round_fold_batching_invariant(tmp_path):
     """Folds of different rounds are independent jobs: packing two rounds'
     folds into one kernel call (fold_batch=4 over 2 rounds x 2 folds) must
@@ -293,6 +298,7 @@ def test_multi_alpha_cross_round(tmp_path):
         assert set(fig["validation"]["0.1"].keys()) == {"1", "2"}
 
 
+@pytest.mark.slow
 def test_kill_resume_mid_round_on_mesh(tmp_path):
     """Mid-round checkpoint/resume must also hold on the multi-chip path:
     fold-sharded params/opt state round-trip through the pickle and the

@@ -26,6 +26,7 @@ TRAIN_FLAGS = ["-data", "GSE30931", "-e", "4", "--rounds", "1", "-f", "2",
                "--fold-batch", "2"]
 
 
+@pytest.mark.slow
 def test_train_both_conditions(data_root, capsys):
     cli.main(["train-normal", "--data-root", data_root] + TRAIN_FLAGS)
     cli.main(["train-inter", "--data-root", data_root] + TRAIN_FLAGS)
@@ -61,6 +62,7 @@ def test_train_both_conditions(data_root, capsys):
     assert "skipping" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_score_performance_statistics_figures(data_root, capsys):
     cli.main(["score", "--data-root", data_root])
     res = os.path.join(data_root, "res", "GSE30931")

@@ -48,6 +48,7 @@ def bundle():
     return ppi, feats, loc, label_list, graph
 
 
+@pytest.mark.slow
 def test_epoch_parity_vs_torch(bundle):
     ppi, feats, loc, label_list, graph = bundle
     torch.manual_seed(7)
@@ -125,6 +126,7 @@ def test_epoch_parity_vs_torch(bundle):
     )
 
 
+@pytest.mark.slow
 def test_artifact_contract(tmp_path, bundle):
     ppi, feats, loc, label_list, graph = bundle
     cfg = TrainConfig(

@@ -4,6 +4,7 @@ import sys
 
 import numpy as np
 import jax
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,6 +20,7 @@ def test_entry_compiles_and_runs():
     assert ((out_np >= 0) & (out_np <= 1)).all()  # sigmoid output
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

@@ -258,6 +258,7 @@ def _boundary_graph(n_pad):
     ((1 << 15) + 64, "float32"),     # unpacked int32 fallback, just past it
     ((1 << 15) + 64, "bfloat16"),    # bf16 routes through the f32 fallback
 ])
+@pytest.mark.slow
 def test_bwd_across_int16_node_ceiling(n_pad, dtype):
     """>2^15 padded nodes must fall back to the unpacked int32 backward
     instead of raising (VERDICT r2 weak #5), with correct gradient routing
@@ -369,6 +370,7 @@ def test_hub_stream_split_roundtrip():
             assert lst == sorted(lst)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
 def test_hub_max_exact_vs_single_stream(dt):
     rng = np.random.default_rng(8)
@@ -437,6 +439,7 @@ def test_hub_max_bwd_stream_exact(dt):
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(gh))
 
 
+@pytest.mark.slow
 def test_hub_max_bwd_big_node_fallback():
     """>2^15 padded nodes route the bf16 backward through the unpacked-f32
     kernel; the hub stream must ride along correctly there too."""

@@ -82,6 +82,7 @@ def test_sharded_forward_matches_single_chip(bundle):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_chip(bundle):
     _, feats, loc, label_list, graph, pg = bundle
     mesh = make_mesh(n_graph=4, n_fold=2)
@@ -142,6 +143,7 @@ def test_sharded_train_step_matches_single_chip(bundle):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("overlap,hub", [(True, 0), (False, 0), (True, 4)])
 def test_sharded_pallas_step_matches_single_chip(bundle, overlap, hub):
     """The fold-batched Pallas kernels inside the shard_map program (per-chip
@@ -218,6 +220,7 @@ def test_sharded_pallas_step_matches_single_chip(bundle, overlap, hub):
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_step_bf16_close(bundle):
     """bf16 messages in the sharded pallas step (halo exchange + edge DMAs
     in bf16) stay within rounding of the f32 sharded step."""

@@ -10,6 +10,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_scaling_sweep_toy(capsys, monkeypatch):
     """benchmarks/scaling.py end to end at toy scale on the virtual CPU mesh:
     JSON output parses, throughput positive, efficiency recorded."""
@@ -29,6 +30,7 @@ def test_scaling_sweep_toy(capsys, monkeypatch):
     assert "scaling_efficiency" in results[1]
 
 
+@pytest.mark.slow
 def test_scaling_sweep_toy_pallas(capsys, monkeypatch):
     """--pallas mode: the sharded step runs the per-chip Pallas kernels."""
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))

@@ -11,6 +11,7 @@ import numpy as np
 from plagnn_tpu.data import synthetic_dataset
 from plagnn_tpu.ops import from_scipy_coo, pad_features
 from plagnn_tpu.train.engine import TrainConfig, train
+import pytest
 
 
 def _run(tmp_dir, **cfg_kw):
@@ -66,6 +67,7 @@ def _assert_same_run(a, b, atol):
                         )
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single_chip_xla(tmp_path):
     """mesh fold=2 x graph=4 (XLA aggregation) == single chip, end to end
     through the engine: logits artifacts and full metric histories."""
@@ -74,6 +76,7 @@ def test_sharded_engine_matches_single_chip_xla(tmp_path):
     _assert_same_run(ref, got, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single_chip_pallas(tmp_path):
     """mesh fold=2 x graph=2 with per-chip Pallas kernels (interpret mode on
     CPU) == the single-chip XLA engine."""
@@ -85,6 +88,7 @@ def test_sharded_engine_matches_single_chip_pallas(tmp_path):
     _assert_same_run(ref, got, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_engine_partial_chunk_padding(tmp_path):
     """A partial final job chunk (3 jobs with fold_batch=4) must be padded to
     a multiple of mesh_fold by repeating jobs, without changing any real
@@ -116,6 +120,7 @@ def test_parse_mesh():
         parse_mesh("fold2")
 
 
+@pytest.mark.slow
 def test_sharded_engine_no_balance_matches_single_chip(tmp_path):
     """--no-mesh-balance (contiguous id blocks) must also match single-chip;
     the default tests above cover the balanced permutation path."""
