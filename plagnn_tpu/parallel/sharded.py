@@ -251,9 +251,13 @@ def make_sharded_forward(mesh: Mesh, pgraph: PartitionedGraph):
         out_specs=P(GRAPH_AXIS),
     )
     extra = (pgraph.interior, pgraph.boundary) if has_overlap else ()
-    return jax.jit(lambda params, x_shards: f(
-        pgraph.local, pgraph.send_idx, x_shards, params, *extra
+    # partition arrays ride as jit ARGUMENTS (closure arrays would be baked
+    # as constants and constant-folded at compile — see _sharded_xla_step)
+    gdata = (pgraph.local, pgraph.send_idx) + extra
+    jitted = jax.jit(lambda gd, params, x_shards: f(
+        gd[0], gd[1], x_shards, params, *gd[2:]
     ))
+    return lambda params, x_shards: jitted(gdata, params, x_shards)
 
 
 def _sharded_xla_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weight):
@@ -329,20 +333,30 @@ def _sharded_xla_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weight):
         ),
     )
     extra = (pgraph.interior, pgraph.boundary) if has_overlap else ()
+    # gdata is threaded through the caller's jit as ARGUMENTS: closing over
+    # the partition arrays would bake them into the executable as constants,
+    # and XLA then constant-folds gathers/argmax-reduces over the padding
+    # regions at compile time — minutes of HLO-evaluator time on small
+    # graphs, and a bigger executable everywhere.
+    gdata = (pgraph.local, pgraph.send_idx) + extra
 
-    def call(params, opt_state, x_shards, label_shards, tr_masks):
+    def call(gdata, params, opt_state, x_shards, label_shards, tr_masks):
+        local, send_idx, *extra_g = gdata
         return step(
-            pgraph.local, pgraph.send_idx, x_shards, label_shards,
-            params, opt_state, tr_masks, *extra,
+            local, send_idx, x_shards, label_shards,
+            params, opt_state, tr_masks, *extra_g,
         )
 
-    return call
+    return call, gdata
 
 
 def make_sharded_train_step(mesh: Mesh, pgraph: PartitionedGraph, tx, class_weight):
     """jit'd one-shot wrapper over :func:`_sharded_xla_step` (see there for
     the shapes/semantics contract)."""
-    return jax.jit(_sharded_xla_step(mesh, pgraph, tx, class_weight))
+    call, gdata = _sharded_xla_step(mesh, pgraph, tx, class_weight)
+    jitted = jax.jit(call)
+    return lambda params, opt_state, x, y, tr: jitted(
+        gdata, params, opt_state, x, y, tr)
 
 
 def _sharded_pallas_step(
@@ -436,14 +450,18 @@ def _sharded_pallas_step(
     )
     pal_int = pgraph.pallas_interior if has_overlap else 0
     pal_bnd = pgraph.pallas_boundary if has_overlap else 0
+    # threaded as jit arguments by the caller — see _sharded_xla_step's note
+    # on constant baking
+    gdata = (pgraph.pallas_local, pal_int, pal_bnd, pgraph.send_idx)
 
-    def call(params, opt_state, x_shards, label_shards, tr_masks):
+    def call(gdata, params, opt_state, x_shards, label_shards, tr_masks):
+        pal_local, p_int, p_bnd, send_idx = gdata
         return step(
-            pgraph.pallas_local, pal_int, pal_bnd, pgraph.send_idx,
+            pal_local, p_int, p_bnd, send_idx,
             x_shards, label_shards, params, opt_state, tr_masks,
         )
 
-    return call
+    return call, gdata
 
 
 def make_sharded_pallas_train_step(
@@ -452,8 +470,11 @@ def make_sharded_pallas_train_step(
 ):
     """jit'd one-shot wrapper over :func:`_sharded_pallas_step` (see there
     for the shapes/semantics contract)."""
-    return jax.jit(_sharded_pallas_step(
-        mesh, pgraph, tx, class_weight, agg_dt=agg_dt, interpret=interpret))
+    call, gdata = _sharded_pallas_step(
+        mesh, pgraph, tx, class_weight, agg_dt=agg_dt, interpret=interpret)
+    jitted = jax.jit(call)
+    return lambda params, opt_state, x, y, tr: jitted(
+        gdata, params, opt_state, x, y, tr)
 
 
 # ---------------------------------------------------------------------------
@@ -506,12 +527,12 @@ def make_sharded_fold_runner(
     if cfg.spmm_impl == "pallas":
         from ..utils.precision import aggregation_dtype
 
-        step = _sharded_pallas_step(
+        step, gdata = _sharded_pallas_step(
             mesh, pgraph, tx, class_weight,
             agg_dt=aggregation_dtype(), interpret=cfg.pallas_interpret,
         )
     else:
-        step = _sharded_xla_step(mesh, pgraph, tx, class_weight)
+        step, gdata = _sharded_xla_step(mesh, pgraph, tx, class_weight)
 
     feats = np.asarray(feats, np.float32)[:n_real]
     labels = np.asarray(labels, np.float32)[:n_real]
@@ -523,10 +544,10 @@ def make_sharded_fold_runner(
     row_map = pgraph.row_map if balanced else None
     node_valid = (row_map >= 0) if balanced else jnp.arange(n_rows) < n_real
 
-    def epoch_step(x_sh, y_sh, labels_g, carry, e_idx, n_epochs):
+    def epoch_step(gd, x_sh, y_sh, labels_g, carry, e_idx, n_epochs):
         params, opt_state, tr_s, va_g, alpha, last_auc = carry
         params, opt_state, train_losses, probs_s = step(
-            params, opt_state, x_sh, y_sh, tr_s)
+            gd, params, opt_state, x_sh, y_sh, tr_s)
         nb = train_losses.shape[0]
         probs = probs_s.reshape(nb, n_rows, labels_g.shape[-1])
         val_losses = jax.vmap(
@@ -569,7 +590,8 @@ def make_sharded_fold_runner(
         return (params, opt_state, tr_s, va_g, alpha, last_auc), (metrics, probs)
 
     @functools.partial(jax.jit, static_argnames=("n_epochs",))
-    def run_impl(x_sh, y_sh, params, opt_state, tr_s, va_g, alpha, n_epochs):
+    def run_impl(gd, x_sh, y_sh, params, opt_state, tr_s, va_g, alpha,
+                 n_epochs):
         labels_g = y_sh.reshape(n_rows, y_sh.shape[-1])
         nb = tr_s.shape[0]
         probs0 = jnp.zeros((nb, n_rows, y_sh.shape[-1]), jnp.float32)
@@ -579,7 +601,7 @@ def make_sharded_fold_runner(
         def body(carry, x):
             state, _ = carry
             state, (metrics, probs) = epoch_step(
-                x_sh, y_sh, labels_g, state, x, n_epochs)
+                gd, x_sh, y_sh, labels_g, state, x, n_epochs)
             return (state, probs), metrics
 
         (state, last_probs), history = jax.lax.scan(
@@ -612,7 +634,7 @@ def make_sharded_fold_runner(
         tr_s = to_rows(jnp.asarray(train_masks)).reshape(b, p, c)
         va_g = to_rows(jnp.asarray(val_masks))
         params_batch, opt_batch, probs, history = run_impl(
-            x_shards, y_shards, params_batch, opt_batch,
+            gdata, x_shards, y_shards, params_batch, opt_batch,
             tr_s, va_g, jnp.float32(alpha),
             n_epochs=n_epochs or cfg.epoch_num)
         if balanced:
