@@ -42,7 +42,7 @@ import numpy as np
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                        "results", "multichip_evidence_r03.json")
+                        "results", "multichip_evidence_r04.json")
 
 # PPI-scale workload (reference main.py:40, utils.py:46-49).
 N_NODES = 24041
@@ -430,9 +430,45 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
     merge_results(section, out)
 
 
+# ---------------------------------------------------------------------------
+# (d) plan: mesh-planner tables — the production (fold, graph) recipe.
+# ---------------------------------------------------------------------------
+
+
+def run_plan(devices_list, n_nodes, n_edges, jobs, include_2d):
+    """Record the mesh planner's candidate tables: the production answer to
+    'how do I run 2 hosts' (VERDICT r3 next-step 1a) plus the modeled 2-D
+    source x destination grid numbers (1b — recorded as a dead end unless a
+    grid clears 0.80 at pure graph)."""
+    from plagnn_tpu.data.synthetic import powerlaw_ppi
+    from plagnn_tpu.parallel.planner import plan_mesh
+
+    ppi = powerlaw_ppi(n_nodes=n_nodes, n_edges=n_edges, seed=70)
+    loops = np.arange(n_nodes, dtype=np.int64)
+    src = np.concatenate([np.asarray(ppi.row, np.int64), loops])
+    dst = np.concatenate([np.asarray(ppi.col, np.int64), loops])
+    out = {"graph": {"n_nodes": n_nodes, "directed_edges_incl_loops":
+                     len(src)}, "total_jobs": jobs, "per_devices": {}}
+    for d in devices_list:
+        plan = plan_mesh(d, src, dst, n_nodes, total_jobs=jobs,
+                         include_2d=include_2d)
+        log(plan.summary())
+        ch = plan.chosen
+        two_d = [c for c in plan.table if c.scheme.startswith("2d:")]
+        out["per_devices"][str(d)] = {
+            "chosen": vars(ch),
+            "best_2d_eff_graph": (max(c.eff_graph for c in two_d)
+                                  if two_d else None),
+            "table": [vars(c) for c in plan.table],
+        }
+    section = ("mesh_plan" if n_nodes == N_NODES
+               else f"mesh_plan_{n_edges // 1_000_000}M")
+    merge_results(section, out)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("hw", "virtual", "model"),
+    ap.add_argument("--mode", choices=("hw", "virtual", "model", "plan"),
                     required=True)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--steps", type=int, default=3)
@@ -451,11 +487,19 @@ def main():
     ap.add_argument("--strategies", nargs="+",
                     default=["contiguous", "balanced"],
                     choices=("contiguous", "balanced", "rcm_seg"))
+    ap.add_argument("--devices", nargs="+", type=int, default=[8, 16, 32],
+                    help="plan mode: device counts to plan for")
+    ap.add_argument("--jobs", type=int, default=100,
+                    help="plan mode: fold jobs (rounds x folds)")
+    ap.add_argument("--no-2d", action="store_true")
     args = ap.parse_args()
     if args.mode == "hw":
         run_hw(args.epochs, args.agg_dtype)
     elif args.mode == "virtual":
         run_virtual(args.steps)
+    elif args.mode == "plan":
+        run_plan(args.devices, args.nodes, args.edges, args.jobs,
+                 include_2d=not args.no_2d)
     else:
         run_model(args.measured_rate, args.bytes_per_edge_fold,
                   args.agg_dtype, args.part, n_nodes=args.nodes,

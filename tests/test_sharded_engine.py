@@ -128,3 +128,61 @@ def test_sharded_engine_no_balance_matches_single_chip(tmp_path):
     got = _run(tmp_path / "mesh", mesh_fold=2, mesh_graph=4,
                mesh_balance=False)
     _assert_same_run(ref, got, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_engine_scaled_fixture_matches_single_chip(tmp_path):
+    """PPI-shaped scale-up of the mesh correctness fixture (VERDICT r3 weak
+    #3): a 2,500-node power-law graph over mesh fold=2 x graph=4 with the
+    balanced (degree-snake) partition, per-chip Pallas kernels (interpret
+    mode) WITH a stacked VMEM hub cache, and fold_batch > mesh_fold — the
+    regime where halo-table widths, stacked-hub pytree padding, and the
+    balanced permutation have real structure the 96-node toy cannot
+    exercise.  Artifacts must equal the single-chip XLA engine's."""
+    ppi, feats, loc, label_list = synthetic_dataset(
+        n_nodes=2500, n_edges=20000, seed=4, feature_dims=(3, 6, 6)
+    )
+    graph = from_scipy_coo(
+        ppi, add_self_loops=True, widths=(4, 16, 64),
+        node_multiple=16, edge_multiple=64,
+    )
+    fp = pad_features(feats, graph.n_nodes)
+    lp = pad_features(loc, graph.n_nodes)
+
+    def run(tmp_dir, **cfg_kw):
+        kw = dict(
+            lr=1e-3, fold_num=4, epoch_num=2, fold_batch=4,
+            fold_seeds=(12,), hidden=(13, 9, 7, 5), compute_auc=True,
+            auc_every=2, verbose=False,
+        )
+        kw.update(cfg_kw)
+        train(graph, fp, lp, label_list, loc, TrainConfig(**kw),
+              str(tmp_dir) + "/")
+        out = {
+            f: np.load(os.path.join(str(tmp_dir), f))
+            for f in sorted(os.listdir(str(tmp_dir))) if f.endswith(".npy")
+        }
+        figs = {}
+        for f in sorted(os.listdir(str(tmp_dir))):
+            if f.startswith("fig_data_"):
+                with open(os.path.join(str(tmp_dir), f)) as fh:
+                    figs[f] = json.load(fh)
+        return out, figs
+
+    ref = run(tmp_path / "single")
+    got = run(tmp_path / "mesh", mesh_fold=2, mesh_graph=4,
+              spmm_impl="pallas", pallas_interpret=True, hub_cache="8")
+    out_a, figs_a = ref
+    out_b, figs_b = got
+    assert set(out_a) == set(out_b) and len(out_a) == 4
+    for f in out_a:
+        np.testing.assert_allclose(out_b[f], out_a[f], atol=2e-5)
+    for f in figs_a:
+        for split in ("train", "validation"):
+            for alpha, folds in figs_a[f][split].items():
+                for fold, curves in folds.items():
+                    for k, v in curves.items():
+                        np.testing.assert_allclose(
+                            figs_b[f][split][alpha][fold][k], v,
+                            atol=2e-5, rtol=1e-4,
+                            err_msg=f"{f}/{split}/{alpha}/{fold}/{k}")
