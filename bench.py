@@ -104,6 +104,63 @@ def timed(fn, *args, reps):
     return (time.perf_counter() - t0) / reps
 
 
+def timed_chained(chain_builder, k_lo=1, k_hi=5, reps=3):
+    """Marginal per-execution device time via in-graph repetition.
+
+    The tunneled device→host sync costs a fixed ~23 ms (measured round 4),
+    so single-execution wall times are harness-dominated.  chain_builder(k)
+    must return a zero-arg callable running k executions chained INSIDE one
+    jitted program; timing k_lo and k_hi and differencing cancels the sync
+    and dispatch overhead exactly.  This matches production shape: the
+    engine scans hundreds of epochs per program, paying the sync once."""
+    lo, hi = chain_builder(k_lo), chain_builder(k_hi)
+    sync_scalar(lo())
+    sync_scalar(hi())
+    best_lo = best_hi = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync_scalar(lo())
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync_scalar(hi())
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (k_hi - k_lo)
+
+
+def load_achievable_rate():
+    """Measured random-row DMA rates from benchmarks/dma_ceiling_r04.json →
+    row_bytes → GB/s interpolator, or None when the sweep hasn't run."""
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "benchmarks", "results", "dma_ceiling_r04.json")
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    pts = sorted(
+        (r["row_kb"] * 1024, r["gbps"] * 1e9)
+        for r in data.get("sweep", [])
+        if r["pattern"] == "random" and r["ring_depth"] == 8
+    )
+    if len(pts) < 2:
+        return None
+
+    def rate(row_bytes: float) -> float:
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        if row_bytes <= xs[0]:
+            return ys[0]
+        if row_bytes >= xs[-1]:
+            return ys[-1]
+        import bisect
+
+        i = bisect.bisect_left(xs, row_bytes)
+        t = (row_bytes - xs[i - 1]) / (xs[i] - xs[i - 1])
+        return ys[i - 1] * (1 - t) + ys[i] * t
+
+    return rate
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -170,27 +227,31 @@ def main():
             stride = FOLDS * 512
             lane = stride // 8
             arg_lane = max(-(-(lane // 2) // 128) * 128, 128)
-            p_fb = jax.jit(
-                lambda pg_, xb_: jnp.sum(jax.grad(
-                    lambda xx: jnp.sum(pallas_spmm_max(pg_, xx) ** 2)
-                )(xb_))
-            )
+            p_fb_raw = lambda pg_, xb_: jnp.sum(jax.grad(  # noqa: E731
+                lambda xx: jnp.sum(pallas_spmm_max(pg_, xx) ** 2)
+            )(xb_))
             candidates.append({
                 "name": "pallas_fold_batched",
-                "fn": p_fb, "args": (pg, xb), "folds": FOLDS,
+                "raw": p_fb_raw, "args": (pg, xb), "folds": FOLDS,
                 # fwd row: stride f32; bwd fused row: 8·(lane+arg_lane) f32
                 "bytes_per_edge": (stride * 4 + 8 * (lane + arg_lane) * 4)
                 // FOLDS,
+                # (row_bytes, bytes-per-edge contribution) for the
+                # achievable-rate ceiling (measured DMA sweep)
+                "rows": [(stride * 4, stride * 4),
+                         (8 * (lane + arg_lane) * 4,
+                          8 * (lane + arg_lane) * 4)],
                 "dtype": "float32",
             })
 
             # --- Pallas f32 fwd-only (diagnostic, not a headline) ---------
-            p_fwd = jax.jit(
-                lambda pg_, xb_: jnp.sum(pallas_spmm_max(pg_, xb_)))
+            p_fwd_raw = lambda pg_, xb_: jnp.sum(  # noqa: E731
+                pallas_spmm_max(pg_, xb_))
             candidates.append({
                 "name": "pallas_fwd_only",
-                "fn": p_fwd, "args": (pg, xb), "folds": FOLDS,
+                "raw": p_fwd_raw, "args": (pg, xb), "folds": FOLDS,
                 "bytes_per_edge": stride * 4 // FOLDS, "dtype": "float32",
+                "rows": [(stride * 4, stride * 4)],
                 "diagnostic": True,
             })
 
@@ -223,33 +284,57 @@ def main():
                 jnp.pad(x[:, None, :f_dim], ((0, 0), (0, 0), (0, 9))),
                 (1, 1, B16),
             )  # layout-agnostic per-position max: any packing works
-            p_fb16 = jax.jit(
-                lambda pg_, xb_: jnp.sum(jax.grad(
-                    lambda xx: jnp.sum(
-                        pallas_spmm_max(
-                            pg_, xx.astype(jnp.bfloat16)
-                        ).astype(jnp.float32) ** 2)
-                )(xb_))
-            )
+            p_fb16_raw = lambda pg_, xb_: jnp.sum(jax.grad(  # noqa: E731
+                lambda xx: jnp.sum(
+                    pallas_spmm_max(
+                        pg_, xx.astype(jnp.bfloat16)
+                    ).astype(jnp.float32) ** 2)
+            )(xb_))
             lane16 = s16 // 16
             candidates.append({
                 "name": "pallas_bf16_fold_batched",
-                "fn": p_fb16, "args": (pg16, xb16), "folds": B16,
+                "raw": p_fb16_raw, "args": (pg16, xb16), "folds": B16,
                 # fwd row: stride bf16; bwd fused row: 16·(2·lane16) int16,
                 # of which the hub-covered fraction moves zero HBM bytes
                 "bytes_per_edge": int(
                     s16 * 2 + (1.0 - cov_b) * 16 * 2 * lane16 * 2) // B16,
+                "rows": [(s16 * 2, s16 * 2),
+                         (16 * 2 * lane16 * 2,
+                          (1.0 - cov_b) * 16 * 2 * lane16 * 2)],
                 "dtype": "bfloat16",
             })
             pallas_built = True
         except Exception as e:
             log(f"pallas path construction failed: {str(e)[:300]}")
 
+    # Chained-execution timing for the Pallas candidates (side-effecting
+    # pallas_call bodies are never CSE'd/hoisted, so k in-graph repetitions
+    # are k real executions): the fixed ~23 ms tunneled sync otherwise
+    # dominates single-execution wall times (measured round 4).
+    K_LO, K_HI = 1, 5
+    for c in candidates:
+        if "raw" not in c:
+            continue
+        raw = c["raw"]
+
+        def make(k, raw=raw):
+            jitted = jax.jit(lambda *a: jax.lax.fori_loop(
+                0, k, lambda i, acc: acc + raw(*a), jnp.float32(0.0)))
+            return jitted
+
+        c["chains"] = {K_LO: make(K_LO), K_HI: make(K_HI)}
+
     # --- Cache-warming pass: compile EVERYTHING before the timed section --
     warm = {}
     for c in candidates:
-        warm[c["name"]] = warm_with_retry(
-            c["name"], lambda c=c: sync_scalar(c["fn"](*c["args"])))
+        if "chains" in c:
+            warm[c["name"]] = warm_with_retry(
+                c["name"], lambda c=c: [
+                    sync_scalar(ch(*c["args"]))
+                    for ch in c["chains"].values()])
+        else:
+            warm[c["name"]] = warm_with_retry(
+                c["name"], lambda c=c: sync_scalar(c["fn"](*c["args"])))
     pallas_ok = any(
         warm.get(n) for n in ("pallas_fold_batched", "pallas_bf16_fold_batched")
     )
@@ -259,10 +344,17 @@ def main():
     for c in candidates:
         if not warm[c["name"]]:
             continue
-        dt = timed(c["fn"], *c["args"], reps=reps)
+        if "chains" in c:
+            dt = timed_chained(
+                lambda k, c=c: (lambda: c["chains"][k](*c["args"])),
+                K_LO, K_HI)
+            how = f"chained k={K_LO}/{K_HI}"
+        else:
+            dt = timed(c["fn"], *c["args"], reps=reps)
+            how = f"{reps} reps"
         eps = c["folds"] * e_real / dt
         own_sol = bw / c["bytes_per_edge"]
-        log(f"{c['name']} (B={c['folds']}): {dt*1e3:.2f} ms → "
+        log(f"{c['name']} (B={c['folds']}, {how}): {dt*1e3:.2f} ms → "
             f"{eps/1e6:.1f} M edge-folds/s "
             f"({c['bytes_per_edge']} B/edge-fold, own SOL {own_sol/1e6:.1f} M "
             f"→ {eps/own_sol:.3f})")
@@ -281,8 +373,7 @@ def main():
     w = jnp.asarray(weight_cal(loc), jnp.float32)
     mask = jnp.asarray(np.arange(graph.n_nodes) < n_nodes)
 
-    @jax.jit
-    def epoch(graph, params, opt_state):
+    def epoch_raw(graph, params, opt_state):
         def loss_fn(p):
             probs = gnn32_apply(p, graph, x)
             return multi_loss(probs, labels, mask, w)
@@ -291,15 +382,27 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def epoch_scalar(graph, params, opt_state):
-        _, _, loss = epoch(graph, params, opt_state)
-        return loss
+    # chain k epochs through the optimizer state inside one program — the
+    # engine's production shape (one jitted scan over all epochs), and the
+    # real data dependency makes in-graph repetition un-hoistable
+    def epoch_chain(k):
+        def body(i, carry):
+            p, o, _ = carry
+            return epoch_raw(graph, p, o)
 
+        return jax.jit(lambda p, o: jax.lax.fori_loop(
+            0, k, body, (p, o, jnp.float32(0.0)))[2])
+
+    ep_lo, ep_hi = epoch_chain(1), epoch_chain(5)
     if warm_with_retry(
-        "gnn32_epoch", lambda: sync_scalar(epoch_scalar(graph, params, opt_state))
+        "gnn32_epoch", lambda: (sync_scalar(ep_lo(params, opt_state)),
+                                sync_scalar(ep_hi(params, opt_state)))
     ):
-        dte = timed(epoch_scalar, graph, params, opt_state, reps=reps)
-        log(f"GNN32 full-batch epoch (1 fold, XLA): {dte*1e3:.2f} ms")
+        dte = timed_chained(
+            lambda k: (lambda: (ep_lo if k == 1 else ep_hi)(
+                params, opt_state)), 1, 5)
+        log(f"GNN32 full-batch epoch (1 fold, XLA, chained k=1/5): "
+            f"{dte*1e3:.2f} ms")
 
     # --- fold-batched training epoch via pallas aggregation (the real
     # workload shape: all 10 CV folds advance together) -----------------
@@ -321,8 +424,7 @@ def main():
             # would give a per-fold count that breaks unbatched updates)
             ob = tx.init(pb)
 
-            @jax.jit
-            def epoch_b(pgb, pb, ob):
+            def epoch_b_raw(pgb, pb, ob):
                 def loss_fn(p):
                     probs_nbc = gnn32_apply_batched(
                         p, lambda xp: _psm(pgb, xp), x[:, :f_dim])
@@ -334,16 +436,26 @@ def main():
                 updates, ob2 = tx.update(grads, ob, pb)
                 return optax.apply_updates(pb, updates), ob2, loss
 
-            def epoch_b_scalar(pgb, pb, ob):
-                return epoch_b(pgb, pb, ob)[2]
+            def epoch_b_chain(k):
+                def body(i, carry):
+                    p, o, _ = carry
+                    return epoch_b_raw(pgb, p, o)
 
+                return jax.jit(lambda p, o: jax.lax.fori_loop(
+                    0, k, body, (p, o, jnp.float32(0.0)))[2])
+
+            eb_lo, eb_hi = epoch_b_chain(1), epoch_b_chain(5)
             if warm_with_retry(
                 "gnn32_fold_batched_epoch",
-                lambda: sync_scalar(epoch_b_scalar(pgb, pb, ob)),
+                lambda: (sync_scalar(eb_lo(pb, ob)),
+                         sync_scalar(eb_hi(pb, ob))),
             ):
-                dtb10 = timed(epoch_b_scalar, pgb, pb, ob, reps=reps)
-                log(f"GNN32 fold-batched epoch (B={FOLDS}, pallas): "
-                    f"{dtb10*1e3:.2f} ms ({dtb10/FOLDS*1e3:.2f} ms/fold-epoch)")
+                dtb10 = timed_chained(
+                    lambda k: (lambda: (eb_lo if k == 1 else eb_hi)(pb, ob)),
+                    1, 5)
+                log(f"GNN32 fold-batched epoch (B={FOLDS}, pallas, chained "
+                    f"k=1/5): {dtb10*1e3:.2f} ms "
+                    f"({dtb10/FOLDS*1e3:.2f} ms/fold-epoch)")
         except Exception as ex:
             log(f"fold-batched epoch unavailable: {str(ex)[:300]}")
 
@@ -355,6 +467,19 @@ def main():
     own_sol = bw / best["bytes_per_edge"]
     vs_own = best["eps"] / own_sol
     vs_f32 = best["eps"] / f32_sol
+    # vs_achievable: winner rate vs the ceiling computed from the MEASURED
+    # random-row DMA rate at its own row sizes (benchmarks/dma_ceiling.py,
+    # VERDICT r3 next-step 2) instead of nominal HBM bandwidth.
+    vs_ach = None
+    ach_rate = load_achievable_rate()
+    if ach_rate is not None and best.get("rows"):
+        t_per_edge = sum(
+            bytes_i / ach_rate(row_i) for row_i, bytes_i in best["rows"])
+        ach_ceiling = best["folds"] / t_per_edge  # edge-folds/s
+        vs_ach = best["eps"] / ach_ceiling
+        log(f"achievable ceiling at measured DMA rates: "
+            f"{ach_ceiling/1e6:.1f} M edge-folds/s → vs_achievable "
+            f"{vs_ach:.3f}")
     log(f"best: {best['name']} at {best['eps']/1e6:.1f} M edge(-fold)s/s; "
         f"own SOL {own_sol/1e6:.1f} M → {vs_own:.3f} "
         f"(legacy f32-bytes SOL {f32_sol/1e6:.1f} M → {vs_f32:.3f})")
@@ -365,9 +490,11 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(vs_own, 4),
         "vs_f32_sol": round(vs_f32, 4),
+        "vs_achievable": round(vs_ach, 4) if vs_ach is not None else None,
         "bytes_per_edge": int(best["bytes_per_edge"]),
         "dtype": best["dtype"],
         "winner": best["name"],
+        "timing": "in-graph chained k=1/5 differencing (kernel paths)",
     }
     if on_tpu and not pallas_ok:
         # The production fast path regressed: refuse to let the XLA

@@ -1,0 +1,284 @@
+"""Platform random-row DMA ceiling — a compute-free microbenchmark.
+
+The SpMM headline's distance to nominal HBM bandwidth has rested on an
+*inferred* claim ("the ~530 GB/s random-row rate is a memory-controller
+property, not a kernel property" — BASELINE.md rounds 1-3).  This harness
+pins it directly: the same grouped DMA ring the production kernels use
+(ops/pallas/spmm_kernels.py chunk_body), with every reduce/argmax/bookkeeping
+instruction stripped — index windows stream through SMEM double-buffers,
+G-row groups ride NG in-flight ring slots, and nothing else happens.  What
+remains is the platform's achievable HBM→VMEM rate for randomly-addressed
+rows of a given size, the quantity that bounds the gspmm-max workload
+(reference model.py:13-25).
+
+Sweeps row size (4–64 KB) × ring depth × access pattern (random = the
+power-law gather; sequential = streaming upper bound).  Results merge into
+``benchmarks/results/dma_ceiling_r04.json`` and BASELINE.md; bench.py reads
+the measured rate at its operating row size to report ``vs_achievable``.
+"""
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "results", "dma_ceiling_r04.json")
+
+T_E = 1024   # indices per SMEM chunk (matches the production kernels)
+G = 8        # rows per ring slot (one byte-counting semaphore per slot)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _dma_kernel(src_hbm, x_hbm, out_ref, ring, idx_src, sems, idx_sems, *,
+                ng: int, sub: int, n_fetch: int):
+    """Pure DMA ring: fetch ``n_fetch`` randomly-indexed rows, no compute.
+
+    Mirrors _spmm_fwd_kernel's chunk_body (index double-buffer + G-row
+    groups on an NG-deep ring) minus the reduction, so the measured rate is
+    the service rate the real kernels' DMAs see."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = n_fetch // T_E
+
+    def idx_copy(c, b):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(c * T_E, T_E)],
+            idx_src.at[pl.ds(b * T_E, T_E)],
+            idx_sems.at[b])
+
+    idx_copy(0, 0).start()
+
+    def edge_dma(slot, j, node):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(node * sub, sub), sub)],
+            ring.at[slot, pl.ds(j * sub, sub)],
+            sems.at[slot])
+
+    def chunk_body(c, carry):
+        bsel = c % 2
+        off = bsel * T_E
+        idx_copy(c, bsel).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            idx_copy(c + 1, 1 - bsel).start()
+
+        n_groups = T_E // G
+
+        def start_group(gi, slot):
+            for j in range(G):
+                edge_dma(slot, j, idx_src[off + gi * G + j]).start()
+
+        def wait_group(slot):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, G * sub)], ring.at[slot], sems.at[slot]
+            ).wait()
+
+        def warm(gi, _):
+            start_group(gi, gi % ng)
+            return 0
+
+        jax.lax.fori_loop(0, min(ng, n_groups), warm, 0)
+
+        def group_body(gi, _):
+            slot = gi % ng
+            wait_group(slot)
+
+            @pl.when(gi + ng < n_groups)
+            def _():
+                start_group(gi + ng, slot)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, group_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    out_ref[...] = ring[0]
+
+
+def build_bench(n_rows: int, row_bytes: int, n_fetch: int, ng: int,
+                pattern: str, seed: int = 70, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sub = 8
+    lane = row_bytes // (4 * sub)
+    assert lane % 128 == 0, f"row_bytes {row_bytes} must be a multiple of 4 KB"
+    n_fetch = ((n_fetch + T_E - 1) // T_E) * T_E
+    rng = np.random.default_rng(seed)
+    if pattern == "random":
+        idx = rng.integers(0, n_rows, n_fetch).astype(np.int32)
+    else:
+        idx = (np.arange(n_fetch, dtype=np.int64) % n_rows).astype(np.int32)
+    x = jnp.asarray(rng.random((n_rows * sub, lane), np.float32))
+    idx = jnp.asarray(idx)
+
+    kernel = functools.partial(
+        _dma_kernel, ng=ng, sub=sub, n_fetch=n_fetch)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((G * sub, lane), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ng, G * sub, lane), jnp.float32),
+            pltpu.SMEM((2 * T_E,), jnp.int32),
+            pltpu.SemaphoreType.DMA((ng,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G * sub, lane), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    # idx/x ride as jit ARGUMENTS: closure arrays would be baked into the
+    # program as constants and shipped with every remote compile (HTTP 413
+    # at PPI-scale working sets).  Repetitions are chained IN-GRAPH: the
+    # tunneled device→host sync costs a fixed ~23 ms, so single-execution
+    # wall times are dominated by harness overhead — callers time k_lo and
+    # k_hi chained executions and difference them.
+    def chained(k):
+        jitted = jax.jit(lambda idx_a, x_a: jax.lax.fori_loop(
+            0, k, lambda i, acc: acc + fn(idx_a, x_a)[0, 0], jnp.float32(0.0)
+        ))
+        idx_d = jax.device_put(idx)
+        x_d = jax.device_put(x)
+        return lambda: jitted(idx_d, x_d)
+
+    return chained, n_fetch, (idx, x, sub, fn)
+
+
+def sync_scalar(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def warm_with_retry(label, fn, attempts=4, backoff=20.0):
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            log(f"{label}: attempt {k + 1}/{attempts} failed: {str(e)[:300]}")
+            if k + 1 < attempts:
+                time.sleep(backoff * (2 ** k))
+    raise RuntimeError(f"{label}: failed after {attempts} attempts")
+
+
+def measure(row_kb: int, ng: int, pattern: str, n_rows: int,
+            target_mb: int, reps: int = 3, k_lo: int = 1, k_hi: int = 5):
+    """Marginal per-execution time via in-graph repetition differencing:
+    time k_lo and k_hi chained kernel executions (one sync each) and take
+    (t_hi - t_lo) / (k_hi - k_lo) — the fixed ~23 ms tunnel sync and any
+    dispatch overhead cancel exactly."""
+    row_bytes = row_kb * 1024
+    n_fetch = max(target_mb * (1 << 20) // row_bytes, 4 * T_E)
+    chained, n_fetch, _ = build_bench(n_rows, row_bytes, n_fetch, ng, pattern)
+    run_lo, run_hi = chained(k_lo), chained(k_hi)
+    warm_with_retry(f"row{row_kb}KB ng{ng} {pattern}",
+                    lambda: (sync_scalar(run_lo()), sync_scalar(run_hi())))
+    best_lo = best_hi = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync_scalar(run_lo())
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync_scalar(run_hi())
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    t_exec = (best_hi - best_lo) / (k_hi - k_lo)
+    gbps = n_fetch * row_bytes / t_exec / 1e9
+    ns_per_fetch = t_exec / n_fetch * 1e9
+    log(f"row {row_kb:>3} KB  ng {ng:>2}  {pattern:>6}: "
+        f"{gbps:7.1f} GB/s  ({ns_per_fetch:6.1f} ns/row, "
+        f"{n_fetch} rows x({k_lo},{k_hi}), best of {reps})")
+    return {"row_kb": row_kb, "ring_depth": ng, "pattern": pattern,
+            "gbps": round(gbps, 1), "ns_per_row": round(ns_per_fetch, 1),
+            "n_fetch": int(n_fetch)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-kb", nargs="+", type=int,
+                    default=[4, 8, 12, 16, 24, 32, 48, 64])
+    ap.add_argument("--ring-depths", nargs="+", type=int, default=[8])
+    ap.add_argument("--depth-sweep-row-kb", type=int, default=24,
+                    help="extra ring-depth sweep at this row size")
+    ap.add_argument("--depth-sweep", nargs="+", type=int, default=[4, 8, 16])
+    ap.add_argument("--n-rows", type=int, default=24064,
+                    help="working-set rows (matches the padded PPI node set)")
+    ap.add_argument("--target-mb", type=int, default=4096,
+                    help="bytes fetched per timed run")
+    ap.add_argument("--patterns", nargs="+", default=["random", "sequential"])
+    args = ap.parse_args()
+
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+    results = {"device": str(dev.device_kind), "n_rows": args.n_rows,
+               "sweep": []}
+    if _os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            prev = json.load(f)
+        results["sweep"] = prev.get("sweep", [])
+    def record(entry):
+        key = (entry["row_kb"], entry["ring_depth"], entry["pattern"])
+        results["sweep"] = [
+            r for r in results["sweep"]
+            if (r["row_kb"], r["ring_depth"], r["pattern"]) != key
+        ] + [entry]
+
+    for pattern in args.patterns:
+        for row_kb in args.rows_kb:
+            for ng in args.ring_depths:
+                record(measure(row_kb, ng, pattern, args.n_rows,
+                               args.target_mb))
+    for ng in args.depth_sweep:
+        if ng in args.ring_depths:
+            continue
+        record(measure(args.depth_sweep_row_kb, ng, "random", args.n_rows,
+                       args.target_mb))
+    results["sweep"].sort(
+        key=lambda r: (r["pattern"], r["row_kb"], r["ring_depth"]))
+
+    rand = [r for r in results["sweep"] if r["pattern"] == "random"]
+    if rand:
+        results["peak_random_gbps"] = max(r["gbps"] for r in rand)
+    seq = [r for r in results["sweep"] if r["pattern"] == "sequential"]
+    if seq:
+        results["peak_sequential_gbps"] = max(r["gbps"] for r in seq)
+    _os.makedirs(_os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"wrote {RESULTS}")
+    print(json.dumps({"metric": "dma_random_row_gbps",
+                      "value": results.get("peak_random_gbps"),
+                      "unit": "GB/s"}))
+
+
+if __name__ == "__main__":
+    main()

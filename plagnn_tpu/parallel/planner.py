@@ -51,9 +51,13 @@ MEASURED_BF16_RATES: Dict[int, float] = {
 # f32 anchors (rounds 1-3): B=10 97.7 M; the engine's f32 B=30 epoch is
 # ~1.4x slower than bf16 — planner currently models the bf16 production path.
 
-# Practical single-chip fold-batch ceiling on 16 GB v5e HBM at full graph
-# (B=40 OOMs at compile, B=30 fits — BASELINE.md round-3 dead ends).
+# Practical single-chip fold-batch ceiling on 16 GB v5e HBM at the full
+# 24,041-node PPI graph (B=40 OOMs at compile, B=30 fits — BASELINE.md
+# round-3 dead ends).  The fold-packed working set scales with
+# per-chip-nodes x fold-batch, so a graph partition (or a smaller graph)
+# raises the ceiling proportionally and a bigger graph lowers it.
 HBM_FOLD_CEILING_FULL_GRAPH = 30
+HBM_REF_NODES = 24041
 # Rates beyond the measured plateau are unexplored; don't extrapolate.
 MAX_MEASURED_B = 32
 
@@ -216,7 +220,11 @@ class Candidate:
     scheme: str                  # '1d' | '2d:RxC'
     eff_graph: float             # graph-axis efficiency (overlap model)
     utilization: float           # job-slot fill over the whole run
-    efficiency: float            # eff_graph * utilization (the score)
+    efficiency: float            # vs D x best achievable single chip (the
+                                 # score; >1 possible when the single-chip
+                                 # baseline is HBM-limited on big graphs)
+    eff_vs_plateau: float        # vs D x the measured byte-bound plateau
+                                 # rate (never >1; cross-graph comparable)
     edge_folds_per_s: float      # modeled mesh throughput
     halo_mb_per_step: float
 
@@ -226,21 +234,28 @@ class MeshPlan:
     n_devices: int
     chosen: Candidate
     table: List[Candidate]
+    b_single: int = HBM_FOLD_CEILING_FULL_GRAPH  # single-chip baseline batch
 
     def summary(self) -> str:
+        note = ""
+        if self.b_single < min(MEASURED_BF16_RATES):
+            note = (f" [single-chip baseline HBM-limited to "
+                    f"b={self.b_single}]")
         lines = [
             f"mesh planner: D={self.n_devices} -> fold={self.chosen.mesh_fold}"
             f" x graph={self.chosen.mesh_graph} (b_local="
             f"{self.chosen.b_local}, fold_batch={self.chosen.fold_batch}, "
-            f"modeled efficiency {self.chosen.efficiency:.3f})",
-            "  F xP   scheme b_loc  eff_graph  util   eff    Medge-folds/s",
+            f"modeled efficiency {self.chosen.efficiency:.3f}){note}",
+            "  F xP   scheme b_loc  eff_graph  util   eff   eff_plat"
+            "  Medge-folds/s",
         ]
         for c in self.table:
             mark = " *" if c is self.chosen else "  "
             lines.append(
                 f"{mark}{c.mesh_fold:>2}x{c.mesh_graph:<3} {c.scheme:>6} "
                 f"{c.b_local:>5}  {c.eff_graph:>8.3f}  {c.utilization:>5.3f} "
-                f"{c.efficiency:>6.3f}  {c.edge_folds_per_s / 1e6:>8.1f}"
+                f"{c.efficiency:>6.3f}  {c.eff_vs_plateau:>6.3f} "
+                f"{c.edge_folds_per_s / 1e6:>9.1f}"
             )
         return "\n".join(lines)
 
@@ -316,15 +331,16 @@ def plan_mesh(
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     e_tot = len(src)
+    # per-chip HBM bound: (n_real / P) x b <= HBM_REF_NODES x 30 (measured
+    # at the reference graph size); single-chip baseline uses P=1
+    b_hbm_1 = max(int(HBM_FOLD_CEILING_FULL_GRAPH * HBM_REF_NODES / n_real), 1)
     best_single = max(
-        rate_single_chip(b) for b in b_candidates
-        if b <= HBM_FOLD_CEILING_FULL_GRAPH)
+        rate_single_chip(min(b, b_hbm_1)) for b in b_candidates)
 
     table: List[Candidate] = []
     for f, p in _factorizations(n_devices):
-        # HBM: full-graph chips fit b<=30; a P-way graph partition shrinks
-        # activations ~P-fold, but rates beyond B=32 are unmeasured — cap.
-        b_max = min(HBM_FOLD_CEILING_FULL_GRAPH * p, MAX_MEASURED_B)
+        # HBM per chip; rates beyond B=32 are unmeasured — cap there.
+        b_max = min(max(b_hbm_1 * p, 1), MAX_MEASURED_B)
         schemes = [("1d", None)]
         if include_2d and f == 1:
             schemes += [(f"2d:{pr}x{pc}", (pr, pc))
@@ -367,10 +383,13 @@ def plan_mesh(
                     fold_batch=f * b, scheme=scheme,
                     eff_graph=round(eff_g, 4), utilization=round(util, 4),
                     efficiency=round(eff, 4),
+                    eff_vs_plateau=round(rate / (
+                        n_devices * rate_single_chip(MAX_MEASURED_B)), 4),
                     edge_folds_per_s=rate, halo_mb_per_step=round(halo_mb, 1),
                 ))
     # deterministic pick: highest end-to-end efficiency, ties to fewer graph
     # chips (less memory inflation), then larger b (fewer chunks)
     impl = [c for c in table if c.scheme == "1d"]
     chosen = max(impl, key=lambda c: (c.efficiency, -c.mesh_graph, c.b_local))
-    return MeshPlan(n_devices=n_devices, chosen=chosen, table=table)
+    return MeshPlan(n_devices=n_devices, chosen=chosen, table=table,
+                    b_single=min(b_hbm_1, MAX_MEASURED_B))
