@@ -28,13 +28,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, reps=10):
-    float(np.asarray(fn(*args)).ravel()[0])
-    t0 = time.perf_counter()
+def timed_chained(raw, args, k_lo=1, k_hi=5, reps=3):
+    """Marginal per-execution time by differencing k_lo vs k_hi executions
+    chained in-graph (side-effecting pallas bodies are never hoisted): the
+    fixed ~23 ms tunneled sync and dispatch overhead cancel exactly
+    (round-4 methodology; the old 10-dispatch loop carried ~+2.3 ms/rep)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(k):
+        return jax.jit(lambda *a: jax.lax.fori_loop(
+            0, k, lambda i, acc: acc + raw(*a), jnp.float32(0.0)))
+
+    lo, hi = make(k_lo), make(k_hi)
+    float(np.asarray(lo(*args)).ravel()[0])
+    float(np.asarray(hi(*args)).ravel()[0])
+    best_lo = best_hi = float("inf")
     for _ in range(reps):
-        r = fn(*args)
-    float(np.asarray(r).ravel()[0])
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        float(np.asarray(lo(*args)).ravel()[0])
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(hi(*args)).ravel()[0])
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (k_hi - k_lo)
 
 
 def main():
@@ -79,14 +96,14 @@ def main():
             rng.standard_normal((n_pad, 1, stride)).astype(np.float32)
         ).astype(dt)
 
-        fwd = jax.jit(lambda pg_, x_: jnp.sum(
-            pallas_spmm_max(pg_, x_).astype(jnp.float32)))
-        fb = jax.jit(lambda pg_, x_: jnp.sum(jax.grad(
+        fwd = lambda pg_, x_: jnp.sum(  # noqa: E731
+            pallas_spmm_max(pg_, x_).astype(jnp.float32))
+        fb = lambda pg_, x_: jnp.sum(jax.grad(  # noqa: E731
             lambda xx: jnp.sum(pallas_spmm_max(pg_, xx).astype(jnp.float32) ** 2)
-        )(x_).astype(jnp.float32)))
+        )(x_).astype(jnp.float32))
         try:
-            dtf = timed(fwd, pg, x)
-            dtb = timed(fb, pg, x)
+            dtf = timed_chained(fwd, (pg, x))
+            dtb = timed_chained(fb, (pg, x))
         except Exception as ex:
             log(f"{label}: FAILED: {str(ex)[:300]}")
             continue

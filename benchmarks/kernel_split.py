@@ -22,13 +22,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, reps=10):
-    float(np.asarray(fn(*args)).ravel()[0])
-    t0 = time.perf_counter()
+def timed(raw, *args, k_lo=1, k_hi=5, reps=3):
+    """Chained in-graph differencing (round-4 methodology): the fixed ~23 ms
+    tunneled sync and dispatch overhead cancel; side-effecting pallas bodies
+    are never hoisted.  ``raw`` must be an UNJITTED scalar-returning fn."""
+    def make(k):
+        return jax.jit(lambda *a: jax.lax.fori_loop(
+            0, k, lambda i, acc: acc + raw(*a), jnp.float32(0.0)))
+
+    lo, hi = make(k_lo), make(k_hi)
+    float(np.asarray(lo(*args)).ravel()[0])
+    float(np.asarray(hi(*args)).ravel()[0])
+    best_lo = best_hi = float("inf")
     for _ in range(reps):
-        r = fn(*args)
-    float(np.asarray(r).ravel()[0])
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        float(np.asarray(lo(*args)).ravel()[0])
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(hi(*args)).ravel()[0])
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (k_hi - k_lo)
 
 
 def main():
@@ -49,10 +62,10 @@ def main():
     rng = np.random.default_rng(0)
     xb = jnp.asarray(rng.standard_normal((graph.n_nodes, B, 512)), jnp.float32)
 
-    f_noarg = jax.jit(lambda x: jnp.sum(
-        K._run_spmm(pg.fwd, x, reduce="max", with_argmax=False)))
-    f_arg = jax.jit(lambda x: jnp.sum(
-        K._run_spmm(pg.fwd, x, reduce="max", with_argmax=True)[0]))
+    f_noarg = lambda x: jnp.sum(
+        K._run_spmm(pg.fwd, x, reduce="max", with_argmax=False))
+    f_arg = lambda x: jnp.sum(
+        K._run_spmm(pg.fwd, x, reduce="max", with_argmax=True)[0])
 
     def arg_only(x):
         out, arg = K._run_spmm(pg.fwd, x, reduce="max", with_argmax=True)
@@ -61,7 +74,7 @@ def main():
     arg_j = jax.jit(arg_only)
     out, arg = arg_j(xb)
     g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
-    f_bwd = jax.jit(lambda gg, aa: jnp.sum(K._run_masked_bwd(pg.bwd, gg, aa)))
+    f_bwd = lambda gg, aa: jnp.sum(K._run_masked_bwd(pg.bwd, gg, aa))
 
     dt = timed(f_noarg, xb)
     log(f"fwd no-arg      : {dt*1e3:7.2f} ms  {B*e/dt/1e6:7.1f} M edge-folds/s")
@@ -71,8 +84,8 @@ def main():
     log(f"masked bwd      : {dt*1e3:7.2f} ms  {B*e/dt/1e6:7.1f} M edge-folds/s")
 
     # sum kernel for reference (no argmax machinery at all)
-    f_sum = jax.jit(lambda x: jnp.sum(
-        K._run_spmm(pg.fwd, x, reduce="sum", with_argmax=False)))
+    f_sum = lambda x: jnp.sum(
+        K._run_spmm(pg.fwd, x, reduce="sum", with_argmax=False))
     dt = timed(f_sum, xb)
     log(f"fwd sum         : {dt*1e3:7.2f} ms  {B*e/dt/1e6:7.1f} M edge-folds/s")
     print("done")
