@@ -89,7 +89,7 @@ def run_boundary():
         src = rng.integers(0, n_real, 40000)
         dst = rng.integers(0, n_real, 40000)
         pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
-        b, f = 1, 1024
+        b, f = 1, (2048 if dtype == "bfloat16" else 1024)  # bf16 tile: 2048
         x32 = np.asarray(
             jnp.asarray(rng.standard_normal((n_pad, b, f)).astype(np.float32))
             .astype(jnp.bfloat16).astype(jnp.float32))
