@@ -64,6 +64,12 @@ MAX_MEASURED_B = 32
 # Nominal per-chip ICI egress (aggregate over links, one-way).
 ICI_EGRESS = {"v5e": 180e9, "v5p": 540e9}
 
+# Measured shard_map program-structure tax at a degenerate (1,1) mesh after
+# the round-4 degenerate fast path (benchmarks/multichip_evidence.py
+# --mode hw: 316.8 vs 295.3 ms/epoch).  Applied to every P>1 candidate so
+# modeled efficiencies are end-to-end honest (VERDICT r3 next-step 4).
+SHARD_STRUCTURE_TAX = 1.073
+
 F_DIM = 503
 HIDDEN = (400, 300, 200)
 
@@ -354,10 +360,12 @@ def plan_mesh(
             def t_epoch(b):
                 """(seconds per epoch for a b-wide local fold batch,
                 eff_graph, halo MB) — group throughput is P x eff_g x the
-                single-chip rate at b."""
+                single-chip rate at b, derated by the measured shard_map
+                structure tax when the program actually shards the graph."""
                 eff_g, halo_mb = _graph_axis_model(
                     cts, e_tot, b, agg_dtype=agg_dtype, part=part)
-                return (e_tot * b / (p * eff_g * rate_single_chip(b)),
+                tax = SHARD_STRUCTURE_TAX if p > 1 else 1.0
+                return (tax * e_tot * b / (p * eff_g * rate_single_chip(b)),
                         eff_g, halo_mb)
 
             for b in sorted({min(b, b_max) for b in b_candidates}):
