@@ -819,19 +819,23 @@ def _masked_bwd_kernel(
     def hit_sum(get_grad_arg, s_global):
         """Masked gradient of one fused row: hit-test the (packed) argmax
         lanes against ``s_global`` and zero-select the gradient lanes.
-        ``get_grad_arg(lo, w)`` reads lanes [lo, lo+w) of the row."""
+        ``get_grad_arg(lo, w)`` reads lanes [lo, lo+w) of the row.  Returns
+        the (lo-half, hi-half-or-None) pair — callers reduce and accumulate
+        the halves separately, which avoids materializing a concatenated
+        copy per edge (pure VPU savings; per-lane add order is unchanged,
+        so results are bit-identical)."""
         pk = pltpu.bitcast(get_grad_arg(lane, arg_lane), jnp.int32)
         if packed:
             lo_hit = ((pk ^ s_global) & 0xFFFF) == 0
         else:  # full-width int32 ids (arg_lane == lane)
             lo_hit = pk == s_global
         buf = jnp.where(lo_hit, get_grad_arg(0, arg_lane), 0.0)
+        buf_hi = None
         if packed and hi_w > 0:
             hi_hit = ((pk >> 16) & 0xFFFF) == s_global
             buf_hi = jnp.where(
                 hi_hit[:, :hi_w], get_grad_arg(arg_lane, hi_w), 0.0)
-            buf = jnp.concatenate([buf, buf_hi], axis=1)
-        return buf
+        return buf, buf_hi
 
     if with_hub:
         def hub_group(off):
@@ -840,16 +844,27 @@ def _masked_bwd_kernel(
             @pl.when(sl < r)
             def _():
                 s_global = base_node + sl
-                bufs = []
+                lo_bufs, hi_bufs = [], []
                 for j in range(G):
                     s = idx_hslot[off + j]
                     row = arena[pl.ds(pl.multiple_of(s * 8, 8), 8), :]
-                    bufs.append(hit_sum(
-                        lambda lo, w, row=row: row[:, lo:lo + w], s_global))
-                while len(bufs) > 1:
-                    bufs = [a + b_ for a, b_ in zip(bufs[::2], bufs[1::2])]
+                    lo_b, hi_b = hit_sum(
+                        lambda lo, w, row=row: row[:, lo:lo + w], s_global)
+                    lo_bufs.append(lo_b)
+                    hi_bufs.append(hi_b)
+                while len(lo_bufs) > 1:
+                    lo_bufs = [a + b_ for a, b_ in
+                               zip(lo_bufs[::2], lo_bufs[1::2])]
                 sl8 = pl.multiple_of(sl * 8, 8)
-                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + bufs[0]
+                acc[pl.ds(sl8, 8), pl.ds(0, arg_lane)] = (
+                    acc[pl.ds(sl8, 8), pl.ds(0, arg_lane)] + lo_bufs[0])
+                if hi_bufs[0] is not None:
+                    while len(hi_bufs) > 1:
+                        hi_bufs = [a + b_ for a, b_ in
+                                   zip(hi_bufs[::2], hi_bufs[1::2])]
+                    acc[pl.ds(sl8, 8), pl.ds(arg_lane, hi_w)] = (
+                        acc[pl.ds(sl8, 8), pl.ds(arg_lane, hi_w)]
+                        + hi_bufs[0])
 
         hub_pre, hub_one, hub_n = _hub_machinery(
             hub_blk_ptr_ref[i], hub_blk_ptr_ref[i + 1],
@@ -907,16 +922,27 @@ def _masked_bwd_kernel(
                 # whole-slot hit test in the packed int16 domain + log-depth
                 # tree sum.  pk lane k holds arg[k] (lo 16) and
                 # arg[arg_lane + k] (hi 16); both comparisons and both
-                # gradient slices are 128-lane aligned by construction.
-                buf = hit_sum(
+                # gradient slices are 128-lane aligned by construction.  The
+                # lo/hi halves reduce and accumulate separately (no per-group
+                # concat copy; per-lane add order identical).
+                lo_buf, hi_buf = hit_sum(
                     lambda lo, w: ring[slot, :, pl.ds(lo, w)], s_global)
-                h = G * 8
-                while h > 8:
-                    half = h // 2
-                    buf = buf[:half, :] + buf[half:h, :]
-                    h = half
+
+                def tree(b):
+                    h = G * 8
+                    while h > 8:
+                        half = h // 2
+                        b = b[:half, :] + b[half:h, :]
+                        h = half
+                    return b
+
                 sl8 = pl.multiple_of(sl * 8, 8)
-                acc[pl.ds(sl8, 8), :] = acc[pl.ds(sl8, 8), :] + buf
+                acc[pl.ds(sl8, 8), pl.ds(0, arg_lane)] = (
+                    acc[pl.ds(sl8, 8), pl.ds(0, arg_lane)] + tree(lo_buf))
+                if hi_buf is not None:
+                    acc[pl.ds(sl8, 8), pl.ds(arg_lane, hi_w)] = (
+                        acc[pl.ds(sl8, 8), pl.ds(arg_lane, hi_w)]
+                        + tree(hi_buf))
 
             @pl.when(gi + NG < n_groups)
             def _():
