@@ -36,17 +36,18 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 # Measured single-chip Pallas bf16 fwd+bwd kernel rates (edge-folds/s) vs
-# fold batch on the 24,041-node / 700k-edge PPI workload, v5e (BASELINE.md
-# rounds 2-3; B=28/32 from benchmarks/bf16_kernels.py round 3).  The curve
-# is the DMA-amortization story: one edge DMA serves the whole fold batch,
-# so bigger B amortizes the ~38 ns/edge issue floor until the byte ceiling.
+# fold batch on the 24,041-node / 700k-edge PPI workload, v5e (round-4
+# chained-differencing sweep, benchmarks/bf16_kernels.py — no hub; the
+# production hub adds ~5% at B=32).  The curve is the DMA-amortization
+# story: one edge DMA serves the whole fold batch, so bigger B amortizes
+# the per-edge issue floor until the byte ceiling.
 MEASURED_BF16_RATES: Dict[int, float] = {
-    10: 113.9e6,
-    16: 153.1e6,
-    20: 166.1e6,
-    24: 173.3e6,
-    28: 175.4e6,
-    32: 176.6e6,
+    10: 119.4e6,
+    16: 160.5e6,
+    20: 171.3e6,
+    24: 179.3e6,
+    28: 178.9e6,
+    32: 179.5e6,
 }
 # f32 anchors (rounds 1-3): B=10 97.7 M; the engine's f32 B=30 epoch is
 # ~1.4x slower than bf16 — planner currently models the bf16 production path.
