@@ -201,22 +201,33 @@ def measure(row_kb: int, ng: int, pattern: str, n_rows: int,
     run_lo, run_hi = chained(k_lo), chained(k_hi)
     warm_with_retry(f"row{row_kb}KB ng{ng} {pattern}",
                     lambda: (sync_scalar(run_lo()), sync_scalar(run_hi())))
+    pair_diffs = []
     best_lo = best_hi = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         sync_scalar(run_lo())
-        best_lo = min(best_lo, time.perf_counter() - t0)
+        t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         sync_scalar(run_hi())
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    t_exec = (best_hi - best_lo) / (k_hi - k_lo)
+        t_hi = time.perf_counter() - t0
+        best_lo = min(best_lo, t_lo)
+        best_hi = min(best_hi, t_hi)
+        pair_diffs.append((t_hi - t_lo) / (k_hi - k_lo))
+    # median of back-to-back paired differences: robust to the ~10%
+    # run-to-run jitter the tunnel adds (separate best-of minima can pair a
+    # lucky lo with an unlucky hi and vice versa)
+    pair_diffs.sort()
+    t_exec = pair_diffs[len(pair_diffs) // 2]
+    t_best = (best_hi - best_lo) / (k_hi - k_lo)
     gbps = n_fetch * row_bytes / t_exec / 1e9
     ns_per_fetch = t_exec / n_fetch * 1e9
     log(f"row {row_kb:>3} KB  ng {ng:>2}  {pattern:>6}: "
         f"{gbps:7.1f} GB/s  ({ns_per_fetch:6.1f} ns/row, "
-        f"{n_fetch} rows x({k_lo},{k_hi}), best of {reps})")
+        f"{n_fetch} rows x({k_lo},{k_hi}), median of {reps}; "
+        f"best-pair {n_fetch * row_bytes / t_best / 1e9:.1f})")
     return {"row_kb": row_kb, "ring_depth": ng, "pattern": pattern,
             "gbps": round(gbps, 1), "ns_per_row": round(ns_per_fetch, 1),
+            "gbps_best": round(n_fetch * row_bytes / t_best / 1e9, 1),
             "n_fetch": int(n_fetch)}
 
 
@@ -233,6 +244,8 @@ def main():
     ap.add_argument("--target-mb", type=int, default=4096,
                     help="bytes fetched per timed run")
     ap.add_argument("--patterns", nargs="+", default=["random", "sequential"])
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--k-hi", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -256,12 +269,13 @@ def main():
         for row_kb in args.rows_kb:
             for ng in args.ring_depths:
                 record(measure(row_kb, ng, pattern, args.n_rows,
-                               args.target_mb))
+                               args.target_mb, reps=args.reps,
+                               k_hi=args.k_hi))
     for ng in args.depth_sweep:
         if ng in args.ring_depths:
             continue
         record(measure(args.depth_sweep_row_kb, ng, "random", args.n_rows,
-                       args.target_mb))
+                       args.target_mb, reps=args.reps, k_hi=args.k_hi))
     results["sweep"].sort(
         key=lambda r: (r["pattern"], r["row_kb"], r["ring_depth"]))
 
