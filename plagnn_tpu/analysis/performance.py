@@ -101,6 +101,7 @@ def performance(
         for state in states:
             out(paths)
             aims, covs, accs, auc_mi, auc_ma = [], [], [], [], []
+            f1_mi, f1_ma = [], []
             for num in range(1, rounds + 1):
                 path = os.path.join(paths, state, f"{state}_{num}_logits.npy")
                 if not os.path.exists(path):
@@ -111,6 +112,20 @@ def performance(
                 aims.append(a)
                 covs.append(c)
                 accs.append(m)
+                # F1 (BASELINE.json north star: "downstream AUC/F1");
+                # micro pools decisions, macro averages per-class F1s
+                # (zero_division=0 semantics, mirrors train/metrics.py)
+                tp = np.sum((true_mat > 0.5) & (pred > 0.5))
+                fp = np.sum((pred > 0.5) & ~(true_mat > 0.5))
+                fn = np.sum((true_mat > 0.5) & ~(pred > 0.5))
+                d = 2 * tp + fp + fn
+                f1_mi.append(2 * tp / d if d else 0.0)
+                tpc = np.sum((true_mat > 0.5) & (pred > 0.5), axis=0)
+                fpc = np.sum((pred > 0.5) & ~(true_mat > 0.5), axis=0)
+                fnc = np.sum((true_mat > 0.5) & ~(pred > 0.5), axis=0)
+                dc = 2 * tpc + fpc + fnc
+                f1_ma.append(float(np.mean(np.where(
+                    dc > 0, 2 * tpc / np.maximum(dc, 1), 0.0))))
                 if compute_auc:
                     scores = logit[label]
                     auc_mi.append(roc_auc_score(
@@ -134,12 +149,16 @@ def performance(
             if compute_auc and auc_mi:
                 results[key]["AUC_micro"] = float(np.mean(auc_mi))
                 results[key]["AUC_macro"] = float(np.mean(auc_ma))
+            results[key]["F1_micro"] = float(np.mean(f1_mi))
+            results[key]["F1_macro"] = float(np.mean(f1_ma))
             out("AIM: {:.3f} +- {:.3f}".format(results[key]["AIM"], results[key]["AIM_std"]))
             out("COV: {:.3f} +- {:.3f}".format(results[key]["COV"], results[key]["COV_std"]))
             out("mlACC: {:.3f} +- {:.3f}".format(results[key]["mlACC"], results[key]["mlACC_std"]))
             if compute_auc and auc_mi:
                 out("AUC(micro): {:.3f}  AUC(macro): {:.3f}".format(
                     results[key]["AUC_micro"], results[key]["AUC_macro"]))
+            out("F1(micro): {:.3f}  F1(macro): {:.3f}".format(
+                results[key]["F1_micro"], results[key]["F1_macro"]))
 
     # Random baselines (performance.py:138-161).  The reference seeds the
     # matched-count null from a merged logits matrix (row sums of the raw

@@ -76,3 +76,32 @@ def macro_auc(scores, labels, mask):
     polarity count as 0.5, matching the neutral-prior convention)."""
     per_class = jax.vmap(_masked_auc_1d, in_axes=(1, 1, None))(scores, labels, mask)
     return jnp.mean(per_class)
+
+
+def micro_f1(loc_true, loc_pred, mask):
+    """Micro-averaged multi-label F1 over masked rows (BASELINE.json north
+    star names "downstream AUC/F1"; the reference computes neither —
+    train.py:14 imports roc_auc_score unused).  Pools all (row, class)
+    decisions: F1 = 2·TP / (2·TP + FP + FN), 0 when the denominator is 0 —
+    sklearn f1_score(average='micro') semantics."""
+    t = (loc_true > 0.5) & mask[:, None]
+    p = (loc_pred > 0.5) & mask[:, None]
+    tp = jnp.sum(t & p).astype(jnp.float32)
+    fp = jnp.sum(p & ~t).astype(jnp.float32)
+    fn = jnp.sum(t & ~p).astype(jnp.float32)
+    denom = 2.0 * tp + fp + fn
+    return jnp.where(denom > 0, 2.0 * tp / jnp.maximum(denom, 1.0), 0.0)
+
+
+def macro_f1(loc_true, loc_pred, mask):
+    """Macro-averaged F1: unweighted mean of per-class F1s (classes with no
+    true and no predicted positives contribute 0 — sklearn
+    f1_score(average='macro', zero_division=0) semantics)."""
+    t = (loc_true > 0.5) & mask[:, None]
+    p = (loc_pred > 0.5) & mask[:, None]
+    tp = jnp.sum(t & p, axis=0).astype(jnp.float32)
+    fp = jnp.sum(p & ~t, axis=0).astype(jnp.float32)
+    fn = jnp.sum(t & ~p, axis=0).astype(jnp.float32)
+    denom = 2.0 * tp + fp + fn
+    f1 = jnp.where(denom > 0, 2.0 * tp / jnp.maximum(denom, 1.0), 0.0)
+    return jnp.mean(f1)

@@ -201,3 +201,32 @@ def test_sampled_auc_matches_full_mask():
                        v_pad=24, auc_every=5, n_epochs=200)
     np.testing.assert_allclose(np.asarray(fin[0]), np.asarray(full[0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(fin[1]), np.asarray(full[1]), rtol=1e-6)
+
+
+def test_f1_vs_sklearn():
+    """micro/macro F1 (north-star metric; the reference computes neither)
+    against sklearn on random multi-label predictions, incl. masked rows and
+    an all-negative class (zero_division=0)."""
+    import jax.numpy as jnp
+    from sklearn.metrics import f1_score
+
+    from plagnn_tpu.train.metrics import macro_f1, micro_f1
+
+    rng = np.random.default_rng(5)
+    n, c = 80, 12
+    labels = (rng.random((n, c)) < 0.25).astype(np.float32)
+    preds = (rng.random((n, c)) < 0.3).astype(np.float32)
+    labels[:, 7] = 0.0  # class with no positives
+    mask_np = np.zeros(n, bool)
+    mask_np[rng.choice(n, 50, replace=False)] = True
+
+    mi = float(micro_f1(jnp.asarray(labels), jnp.asarray(preds),
+                        jnp.asarray(mask_np)))
+    ma = float(macro_f1(jnp.asarray(labels), jnp.asarray(preds),
+                        jnp.asarray(mask_np)))
+    ref_mi = f1_score(labels[mask_np], preds[mask_np], average="micro",
+                      zero_division=0)
+    ref_ma = f1_score(labels[mask_np], preds[mask_np], average="macro",
+                      zero_division=0)
+    np.testing.assert_allclose(mi, ref_mi, rtol=1e-6)
+    np.testing.assert_allclose(ma, ref_ma, rtol=1e-6)
