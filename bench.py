@@ -116,15 +116,19 @@ def timed_chained(chain_builder, k_lo=1, k_hi=5, reps=3):
     lo, hi = chain_builder(k_lo), chain_builder(k_hi)
     sync_scalar(lo())
     sync_scalar(hi())
-    best_lo = best_hi = float("inf")
+    diffs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sync_scalar(lo())
-        best_lo = min(best_lo, time.perf_counter() - t0)
+        t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         sync_scalar(hi())
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return (best_hi - best_lo) / (k_hi - k_lo)
+        t_hi = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / (k_hi - k_lo))
+    # median of back-to-back paired differences: robust to tunnel jitter
+    # (separate best-of minima can pair a lucky lo with an unlucky hi)
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def load_achievable_rate():

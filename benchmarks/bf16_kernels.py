@@ -87,7 +87,13 @@ def main():
         ("bf16 B=24 s=12288", 24, 12288, jnp.bfloat16, None),
         ("bf16 B=28 s=14336", 28, 14336, jnp.bfloat16, None),
         ("bf16 B=32 s=16384", 32, 16384, jnp.bfloat16, None),
+        ("bf16 B=36 s=18432", 36, 18432, jnp.bfloat16, None),
+        ("bf16 B=40 s=20480", 40, 20480, jnp.bfloat16, None),
     ]
+    import sys as _s
+    if len(_s.argv) > 1:   # optional: run only the given fold batches
+        keep = {int(a) for a in _s.argv[1:]}
+        cases = [c for c in cases if c[1] in keep]
     results = []
     for label, folds, stride, dt, rpb_over in cases:
         rpb = rpb_over or pick_rows_per_block(n_pad, stride)
