@@ -91,8 +91,10 @@ def main():
         ("bf16 B=40 s=20480", 40, 20480, jnp.bfloat16, None),
     ]
     import sys as _s
-    if len(_s.argv) > 1:   # optional: run only the given fold batches
-        keep = {int(a) for a in _s.argv[1:]}
+    write_anchors = "--write-anchors" in _s.argv[1:]
+    sel = [a for a in _s.argv[1:] if a != "--write-anchors"]
+    if sel:               # optional: run only the given fold batches
+        keep = {int(a) for a in sel}
         cases = [c for c in cases if c[1] in keep]
     results = []
     for label, folds, stride, dt, rpb_over in cases:
@@ -117,12 +119,23 @@ def main():
         epsb = folds * e_real / dtb
         log(f"{label} rpb={rpb}: fwd {dtf*1e3:.2f} ms ({epsf/1e6:.1f} M e-f/s), "
             f"fwd+bwd {dtb*1e3:.2f} ms ({epsb/1e6:.1f} M e-f/s)")
-        results.append((label, dtf, dtb, epsb))
+        results.append((label, folds, dt, rpb_over, dtf, dtb, epsb))
 
     if results:
-        best = max(results, key=lambda r: r[3])
-        log(f"BEST fwd+bwd: {best[0]} at {best[3]/1e6:.1f} M edge-folds/s "
+        best = max(results, key=lambda r: r[6])
+        log(f"BEST fwd+bwd: {best[0]} at {best[6]/1e6:.1f} M edge-folds/s "
             f"(round-1 f32 headline: 95.4)")
+    if write_anchors:
+        # feed the planner (parallel/planner.load_anchors): the plain bf16
+        # fwd+bwd sweep points keyed by fold batch, no rpb overrides
+        from anchors_io import update_anchors
+
+        rates = {str(folds): epsb
+                 for _, folds, dt, rpb_over, _, _, epsb in results
+                 if dt == jnp.bfloat16 and rpb_over is None}
+        if rates:
+            p = update_anchors({"bf16_rates": rates}, "benchmarks/bf16_kernels.py")
+            log(f"anchors updated: {p} ({sorted(map(int, rates))})")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ import numpy as np
 import scipy.sparse as sp
 from sklearn.metrics import roc_auc_score
 
+from ..train.metrics import macro_f1_np, micro_f1_np
 from ..train.postprocess import protein_loc_correction_np
 
 
@@ -113,19 +114,10 @@ def performance(
                 covs.append(c)
                 accs.append(m)
                 # F1 (BASELINE.json north star: "downstream AUC/F1");
-                # micro pools decisions, macro averages per-class F1s
-                # (zero_division=0 semantics, mirrors train/metrics.py)
-                tp = np.sum((true_mat > 0.5) & (pred > 0.5))
-                fp = np.sum((pred > 0.5) & ~(true_mat > 0.5))
-                fn = np.sum((true_mat > 0.5) & ~(pred > 0.5))
-                d = 2 * tp + fp + fn
-                f1_mi.append(2 * tp / d if d else 0.0)
-                tpc = np.sum((true_mat > 0.5) & (pred > 0.5), axis=0)
-                fpc = np.sum((pred > 0.5) & ~(true_mat > 0.5), axis=0)
-                fnc = np.sum((true_mat > 0.5) & ~(pred > 0.5), axis=0)
-                dc = 2 * tpc + fpc + fnc
-                f1_ma.append(float(np.mean(np.where(
-                    dc > 0, 2 * tpc / np.maximum(dc, 1), 0.0))))
+                # shared numpy helpers in train/metrics.py so the analysis
+                # and train-time (jnp) implementations cannot drift
+                f1_mi.append(micro_f1_np(true_mat, pred))
+                f1_ma.append(macro_f1_np(true_mat, pred))
                 if compute_auc:
                     scores = logit[label]
                     auc_mi.append(roc_auc_score(

@@ -44,7 +44,13 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("-d", type=str, default="tpu",
                    help="accepted for reference compatibility")
     p.add_argument("--data-root", default="data")
-    p.add_argument("--fold-batch", type=int, default=10)
+    # default None = "not user-set" so --mesh auto can tell an explicit
+    # request apart from the default (10) before overriding it
+    p.add_argument("--fold-batch", type=int, default=None,
+                   help="folds trained simultaneously (vmap/packing width; "
+                        "default 10).  Under --mesh auto the planner picks "
+                        "the fold batch; an explicit value constrains its "
+                        "candidates instead of being silently discarded")
     p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--seed", type=int, default=70)
     p.add_argument("--no-auc", action="store_true")
@@ -151,7 +157,7 @@ def _train(args, condition: str):
             )
         )
     mesh_spec = parse_mesh(args.mesh)
-    fold_batch = args.fold_batch
+    fold_batch = args.fold_batch if args.fold_batch is not None else 10
     if mesh_spec[0] == "auto":
         import jax
 
@@ -160,13 +166,31 @@ def _train(args, condition: str):
         n_dev = mesh_spec[1] or len(jax.devices())
         g = bundle.graph
         e = g.n_edges
+        kw = {}
+        if args.fold_batch is not None:
+            # honor an explicit --fold-batch: constrain the planner's local
+            # fold-batch candidates to divisors consistent with the request
+            # so chosen.fold_batch == the requested width whenever some
+            # factorization supports it (ADVICE r4)
+            kw["b_candidates"] = sorted({
+                args.fold_batch // f
+                for f in range(1, n_dev + 1)
+                if n_dev % f == 0 and args.fold_batch % f == 0
+            })
         plan = plan_mesh(
             n_dev, np.asarray(g.src)[:e], np.asarray(g.dst)[:e],
-            g.n_real_nodes, total_jobs=args.rounds * args.f)
+            g.n_real_nodes, total_jobs=args.rounds * args.f, **kw)
         print(plan.summary())
         mesh_fold = plan.chosen.mesh_fold
         mesh_graph = plan.chosen.mesh_graph
         fold_batch = plan.chosen.fold_batch
+        if args.fold_batch is not None and fold_batch != args.fold_batch:
+            print(
+                f"warning: --mesh auto chose fold_batch={fold_batch} "
+                f"(mesh fold={mesh_fold} x graph={mesh_graph}); the "
+                f"requested --fold-batch {args.fold_batch} is not "
+                "achievable at the best factorization"
+            )
     else:
         mesh_fold, mesh_graph = mesh_spec
     if args.hub_cache not in ("auto", "off") and not args.hub_cache.isdigit():

@@ -31,6 +31,8 @@ question answered by ``plan_mesh``/``benchmarks/multichip_evidence.py``.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,6 +43,12 @@ import numpy as np
 # production hub adds ~5% at B=32).  The curve is the DMA-amortization
 # story: one edge DMA serves the whole fold batch, so bigger B amortizes
 # the per-edge issue floor until the byte ceiling.
+#
+# These baked values are the FALLBACK: plan_mesh first looks for a
+# machine-readable anchors file written by the benchmarks
+# (benchmarks/results/anchors.json, or $PLAGNN_ANCHORS) so fresh bench
+# output flows into every `--mesh auto` decision without hand-editing
+# constants (VERDICT r4 next-step 6); MeshPlan records which source won.
 MEASURED_BF16_RATES: Dict[int, float] = {
     10: 119.4e6,
     16: 160.5e6,
@@ -73,6 +81,51 @@ SHARD_STRUCTURE_TAX = 1.073
 
 F_DIM = 503
 HIDDEN = (400, 300, 200)
+
+# Measured-anchor file resolution (see MEASURED_BF16_RATES note).
+ANCHORS_ENV = "PLAGNN_ANCHORS"
+DEFAULT_ANCHORS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "benchmarks", "results", "anchors.json")
+
+
+def load_anchors(path: Optional[str] = None) -> Dict:
+    """Resolve planner anchors: explicit ``path`` → $PLAGNN_ANCHORS →
+    benchmarks/results/anchors.json → the baked constants.
+
+    Returns {"rates": {b: edge_folds_per_s}, "tax": float,
+    "hbm_ceiling": int, "max_b": int, "source": str}.  A malformed or
+    missing file falls through to the next source (the baked constants are
+    always valid), so a stale or truncated anchors file can never crash a
+    plan — it just loses freshness.  ``path="baked"`` pins the baked
+    constants (hermetic tests / reproducing a recorded plan)."""
+    if path == "baked":
+        path = None
+        sources = ()
+    else:
+        sources = (path, os.environ.get(ANCHORS_ENV), DEFAULT_ANCHORS_PATH)
+    for p in sources:
+        if not p:
+            continue
+        try:
+            with open(p) as f:
+                raw = json.load(f)
+            rates = {int(k): float(v) for k, v in raw["bf16_rates"].items()}
+            if not rates or any(v <= 0 for v in rates.values()):
+                raise ValueError("non-positive rate")
+            tax = float(raw.get("structure_tax", SHARD_STRUCTURE_TAX))
+            if tax < 1.0:
+                raise ValueError("structure_tax < 1")
+            ceiling = int(raw.get("hbm_fold_ceiling_full_graph",
+                                  HBM_FOLD_CEILING_FULL_GRAPH))
+        except (OSError, json.JSONDecodeError, KeyError, TypeError,
+                ValueError, AttributeError):
+            continue
+        return {"rates": rates, "tax": tax, "hbm_ceiling": ceiling,
+                "max_b": max(rates), "source": p}
+    return {"rates": dict(MEASURED_BF16_RATES), "tax": SHARD_STRUCTURE_TAX,
+            "hbm_ceiling": HBM_FOLD_CEILING_FULL_GRAPH,
+            "max_b": MAX_MEASURED_B, "source": "baked"}
 
 
 def rate_single_chip(b: int, rates: Optional[Dict[int, float]] = None) -> float:
@@ -242,10 +295,12 @@ class MeshPlan:
     chosen: Candidate
     table: List[Candidate]
     b_single: int = HBM_FOLD_CEILING_FULL_GRAPH  # single-chip baseline batch
+    b_min_measured: int = min(MEASURED_BF16_RATES)
+    anchors_source: str = "baked"  # which anchor source scored this plan
 
     def summary(self) -> str:
         note = ""
-        if self.b_single < min(MEASURED_BF16_RATES):
+        if self.b_single < self.b_min_measured:
             note = (f" [single-chip baseline HBM-limited to "
                     f"b={self.b_single}]")
         lines = [
@@ -253,6 +308,7 @@ class MeshPlan:
             f" x graph={self.chosen.mesh_graph} (b_local="
             f"{self.chosen.b_local}, fold_batch={self.chosen.fold_batch}, "
             f"modeled efficiency {self.chosen.efficiency:.3f}){note}",
+            f"  anchors: {self.anchors_source}",
             "  F xP   scheme b_loc  eff_graph  util   eff   eff_plat"
             "  Medge-folds/s",
         ]
@@ -271,6 +327,7 @@ def _graph_axis_model(
     cts: Dict[str, np.ndarray], e_tot: int, b: int, *,
     agg_dtype: str = "bfloat16", part: str = "v5e",
     layer_widths: Sequence[int] = (F_DIM, HIDDEN[0], HIDDEN[1]),
+    rates: Optional[Dict[int, float]] = None,
 ) -> Tuple[float, float]:
     """(efficiency, halo_MB_per_step) of a graph partition at local fold
     batch b — same construction as benchmarks/multichip_evidence.run_model:
@@ -281,7 +338,7 @@ def _graph_axis_model(
     align = 2048 if agg_dtype == "bfloat16" else 1024
     ici = ICI_EGRESS[part]
     strides = [_packed_stride(b, f, align) for f in layer_widths]
-    tau_ref = 1.0 / rate_single_chip(b)
+    tau_ref = 1.0 / rate_single_chip(b, rates)
     taus = [tau_ref * s / strides[0] for s in strides]
     t1 = e_tot * b * sum(taus)
     p = len(cts["edges_per_chip"])
@@ -325,6 +382,7 @@ def plan_mesh(
     part: str = "v5e",
     include_2d: bool = False,
     b_candidates: Sequence[int] = (10, 16, 20, 24, 30),
+    anchors_path: Optional[str] = None,
 ) -> MeshPlan:
     """Score every (fold, graph) factorization of ``n_devices`` and pick the
     best.  ``total_jobs`` is the run's fold-job count (reference: 10 rounds ×
@@ -338,16 +396,19 @@ def plan_mesh(
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     e_tot = len(src)
-    # per-chip HBM bound: (n_real / P) x b <= HBM_REF_NODES x 30 (measured
-    # at the reference graph size); single-chip baseline uses P=1
-    b_hbm_1 = max(int(HBM_FOLD_CEILING_FULL_GRAPH * HBM_REF_NODES / n_real), 1)
+    anc = load_anchors(anchors_path)
+    rates, tax = anc["rates"], anc["tax"]
+    # per-chip HBM bound: (n_real / P) x b <= HBM_REF_NODES x ceiling
+    # (measured at the reference graph size); single-chip baseline uses P=1
+    b_hbm_1 = max(int(anc["hbm_ceiling"] * HBM_REF_NODES / n_real), 1)
     best_single = max(
-        rate_single_chip(min(b, b_hbm_1)) for b in b_candidates)
+        rate_single_chip(min(b, b_hbm_1), rates) for b in b_candidates)
 
     table: List[Candidate] = []
     for f, p in _factorizations(n_devices):
-        # HBM per chip; rates beyond B=32 are unmeasured — cap there.
-        b_max = min(max(b_hbm_1 * p, 1), MAX_MEASURED_B)
+        # HBM per chip; rates beyond the largest measured B are unexplored —
+        # cap there rather than extrapolate.
+        b_max = min(max(b_hbm_1 * p, 1), anc["max_b"])
         schemes = [("1d", None)]
         if include_2d and f == 1:
             schemes += [(f"2d:{pr}x{pc}", (pr, pc))
@@ -364,9 +425,10 @@ def plan_mesh(
                 single-chip rate at b, derated by the measured shard_map
                 structure tax when the program actually shards the graph."""
                 eff_g, halo_mb = _graph_axis_model(
-                    cts, e_tot, b, agg_dtype=agg_dtype, part=part)
-                tax = SHARD_STRUCTURE_TAX if p > 1 else 1.0
-                return (tax * e_tot * b / (p * eff_g * rate_single_chip(b)),
+                    cts, e_tot, b, agg_dtype=agg_dtype, part=part,
+                    rates=rates)
+                t = tax if p > 1 else 1.0
+                return (t * e_tot * b / (p * eff_g * rate_single_chip(b, rates)),
                         eff_g, halo_mb)
 
             for b in sorted({min(b, b_max) for b in b_candidates}):
@@ -393,7 +455,7 @@ def plan_mesh(
                     eff_graph=round(eff_g, 4), utilization=round(util, 4),
                     efficiency=round(eff, 4),
                     eff_vs_plateau=round(rate / (
-                        n_devices * rate_single_chip(MAX_MEASURED_B)), 4),
+                        n_devices * rate_single_chip(anc["max_b"], rates)), 4),
                     edge_folds_per_s=rate, halo_mb_per_step=round(halo_mb, 1),
                 ))
     # deterministic pick: highest end-to-end efficiency, ties to fewer graph
@@ -401,4 +463,6 @@ def plan_mesh(
     impl = [c for c in table if c.scheme == "1d"]
     chosen = max(impl, key=lambda c: (c.efficiency, -c.mesh_graph, c.b_local))
     return MeshPlan(n_devices=n_devices, chosen=chosen, table=table,
-                    b_single=min(b_hbm_1, MAX_MEASURED_B))
+                    b_single=min(b_hbm_1, anc["max_b"]),
+                    b_min_measured=min(rates),
+                    anchors_source=anc["source"])

@@ -557,7 +557,8 @@ def make_sharded_fold_runner(
     import optax
 
     from ..train.losses import multi_loss
-    from ..train.metrics import aim_cov_acc, macro_auc, micro_auc
+    from ..train.metrics import (
+        aim_cov_acc, macro_auc, macro_f1, micro_auc, micro_f1)
     from ..train.postprocess import protein_loc_correction
     from .partition import shard_features
 
@@ -580,17 +581,29 @@ def make_sharded_fold_runner(
     else:
         step, gdata = _sharded_xla_step(mesh, pgraph, tx, class_weight)
 
+    # Multi-process (multi-host) mode: every process runs this same program
+    # over the GLOBAL mesh (jax.distributed.initialize fuses the device
+    # sets).  All host-side inputs are kept as numpy/uncommitted values —
+    # each process holds the identical full copy, which multi-controller
+    # jit accepts as implicitly-replicated global inputs; committing them to
+    # a process-local device first would make them single-process arrays
+    # the global computation rejects.  Outputs are replicated (out_shardings
+    # below) so every process can fetch them and the engine's process-0
+    # artifact writer sees the full result (VERDICT r4 next-step 3).
+    multiprocess = jax.process_count() > 1
+    _asarray = np.asarray if multiprocess else jnp.asarray
+
     feats = np.asarray(feats, np.float32)[:n_real]
     labels = np.asarray(labels, np.float32)[:n_real]
-    x_shards = jnp.asarray(shard_features(feats, pgraph))
-    y_shards = jnp.asarray(shard_features(labels, pgraph))
+    x_shards = _asarray(shard_features(feats, pgraph))
+    y_shards = _asarray(shard_features(labels, pgraph))
     # Balanced partitions interleave padding rows per block; validity and all
     # node-indexed inputs/outputs go through the permutation tables.
     balanced = pgraph.row_map is not None
     row_map = pgraph.row_map if balanced else None
     node_valid = (row_map >= 0) if balanced else jnp.arange(n_rows) < n_real
 
-    def epoch_step(gd, x_sh, y_sh, labels_g, carry, e_idx, n_epochs):
+    def epoch_step(gd, x_sh, y_sh, labels_g, carry, e_idx, total_epochs):
         params, opt_state, tr_s, va_g, alpha, last_auc = carry
         params, opt_state, train_losses, probs_s = step(
             gd, params, opt_state, x_sh, y_sh, tr_s)
@@ -603,11 +616,15 @@ def make_sharded_fold_runner(
         tr_g = tr_s.reshape(nb, n_rows)
         tr_m = jax.vmap(lambda pd, m: aim_cov_acc(labels_g, pd, m))(preds, tr_g)
         va_m = jax.vmap(lambda pd, m: aim_cov_acc(labels_g, pd, m))(preds, va_g)
+        va_f1 = jax.vmap(
+            lambda pd, m: (micro_f1(labels_g, pd, m), macro_f1(labels_g, pd, m))
+        )(preds, va_g)
         metrics = {
             "train": {"aim": tr_m[0], "cov": tr_m[1], "acc": tr_m[2],
                       "loss": train_losses},
             "val": {"aim": va_m[0], "cov": va_m[1], "acc": va_m[2],
-                    "loss": val_losses},
+                    "loss": val_losses,
+                    "f1_micro": va_f1[0], "f1_macro": va_f1[1]},
             "pred_num": jax.vmap(
                 lambda pd: jnp.sum(
                     jnp.where(node_valid[:, None], pd, 0.0), axis=0
@@ -629,15 +646,19 @@ def make_sharded_fold_runner(
             from ..train.engine import _auc_sample_now
 
             last_auc = jax.lax.cond(
-                _auc_sample_now(e_idx, n_epochs, auc_every), calc_all,
+                _auc_sample_now(e_idx, total_epochs, auc_every), calc_all,
                 lambda _: last_auc, 0)
             metrics["val"]["auc_micro"] = last_auc[0]
             metrics["val"]["auc_macro"] = last_auc[1]
         return (params, opt_state, tr_s, va_g, alpha, last_auc), (metrics, probs)
 
-    @functools.partial(jax.jit, static_argnames=("n_epochs",))
-    def run_impl(gd, x_sh, y_sh, params, opt_state, tr_s, va_g, alpha,
-                 n_epochs):
+    if multiprocess:
+        # graph/partition arrays were built as (uncommitted) device arrays;
+        # hand multi-controller jit plain numpy so they read as replicated
+        gdata = jax.tree.map(np.asarray, gdata)
+
+    def _run_impl(gd, x_sh, y_sh, params, opt_state, tr_s, va_g, alpha,
+                  epoch_offset, total_epochs, n_epochs):
         labels_g = y_sh.reshape(n_rows, y_sh.shape[-1])
         nb = tr_s.shape[0]
         probs0 = jnp.zeros((nb, n_rows, y_sh.shape[-1]), jnp.float32)
@@ -647,21 +668,36 @@ def make_sharded_fold_runner(
         def body(carry, x):
             state, _ = carry
             state, (metrics, probs) = epoch_step(
-                gd, x_sh, y_sh, labels_g, state, x, n_epochs)
+                gd, x_sh, y_sh, labels_g, state, x, total_epochs)
             return (state, probs), metrics
 
         (state, last_probs), history = jax.lax.scan(
             body,
             ((params, opt_state, tr_s, va_g, alpha, auc0), probs0),
-            jnp.arange(n_epochs),
+            jnp.arange(n_epochs) + epoch_offset,  # GLOBAL epoch indices
         )
         history = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), history)
         return state[0], state[1], last_probs, history
 
+    if multiprocess:
+        # replicate every output so each process can read the full result
+        # (device_get on a fully-replicated global array uses its local copy)
+        run_impl = jax.jit(
+            _run_impl, static_argnames=("n_epochs",),
+            out_shardings=jax.sharding.NamedSharding(mesh, P()))
+    else:
+        run_impl = jax.jit(_run_impl, static_argnames=("n_epochs",))
+
     def run(params_batch, opt_batch, train_masks, val_masks, alpha,
-            n_epochs=None):
+            n_epochs=None, epoch_offset: int = 0, total_epochs=None):
         if opt_batch is None:
             opt_batch = jax.vmap(tx.init)(params_batch)
+        if multiprocess:
+            # numpy in, so every process presents identical replicated
+            # inputs (chunk 2+ feeds back the replicated global outputs,
+            # which are equally valid — this also covers fresh host inits)
+            params_batch = jax.tree.map(np.asarray, params_batch)
+            opt_batch = jax.tree.map(np.asarray, opt_batch)
         b = jax.tree.leaves(params_batch)[0].shape[0]
         assert b % n_fold_ax == 0, (
             f"fold batch {b} must be a multiple of the mesh fold axis "
@@ -669,28 +705,31 @@ def make_sharded_fold_runner(
         )
 
         def to_rows(m):
-            m = m[:, :n_real]
+            m = np.asarray(m)[:, :n_real]
             if balanced:
-                return jnp.where(
-                    row_map[None, :] >= 0,
-                    m[:, jnp.maximum(row_map, 0)], False)
+                rm = np.asarray(row_map)
+                return np.where(rm[None, :] >= 0,
+                                m[:, np.maximum(rm, 0)], False)
             pad = n_rows - n_real
-            return jnp.pad(m, ((0, 0), (0, pad))) if pad else m
+            return np.pad(m, ((0, 0), (0, pad))) if pad else m
 
-        tr_s = to_rows(jnp.asarray(train_masks)).reshape(b, p, c)
-        va_g = to_rows(jnp.asarray(val_masks))
+        tr_s = _asarray(to_rows(train_masks).reshape(b, p, c))
+        va_g = _asarray(to_rows(val_masks))
+        n_run = n_epochs or cfg.epoch_num
         params_batch, opt_batch, probs, history = run_impl(
             gdata, x_shards, y_shards, params_batch, opt_batch,
-            tr_s, va_g, jnp.float32(alpha),
-            n_epochs=n_epochs or cfg.epoch_num)
+            tr_s, va_g, np.float32(alpha), np.int32(epoch_offset),
+            np.int32(total_epochs or (epoch_offset + n_run)),
+            n_epochs=n_run)
         if balanced:
             # restore the engine's node-id row order (rows past n_real are
-            # padding the engine never reads)
-            gather = jnp.concatenate([
-                pgraph.node_row,
-                jnp.zeros(n_rows - n_real, jnp.int32),
+            # padding the engine never reads); numpy-side so it works on
+            # replicated multi-process outputs too
+            gather = np.concatenate([
+                np.asarray(pgraph.node_row),
+                np.zeros(n_rows - n_real, np.int32),
             ])
-            probs = probs[:, gather]
+            probs = np.asarray(jax.device_get(probs))[:, gather]
         return params_batch, opt_batch, probs, history
 
     run.init_opt = lambda pb: jax.vmap(tx.init)(pb)

@@ -34,7 +34,7 @@ from ..models.gnn32 import MODEL_REGISTRY
 from ..ops.graph_format import Graph
 from .kfold import FOLD_SEEDS, fold_node_masks
 from .losses import multi_loss, weight_cal
-from .metrics import aim_cov_acc, macro_auc, micro_auc
+from .metrics import aim_cov_acc, macro_auc, macro_f1, micro_auc, micro_f1
 from .postprocess import protein_loc_correction
 
 
@@ -56,8 +56,10 @@ class TrainConfig:
     # (measured, BASELINE.md); the engine instead gathers the fold's val
     # subset and samples AUC every auc_every epochs, carrying the last value
     # between samples (the reference never computes AUC at all and logs
-    # other metrics every 5 epochs, train.py:229).  Chunked runs
-    # (checkpoint_every) restart the cadence at each chunk boundary.
+    # other metrics every 5 epochs, train.py:229).  The cadence runs on
+    # GLOBAL epoch indices: chunked runs (checkpoint_every) thread the epoch
+    # offset into the runner, so a checkpointed run's AUC history is
+    # identical to an uninterrupted one (ADVICE r4).
     auc_every: int = 5
     log_every: int = 5
     verbose: bool = True
@@ -94,12 +96,17 @@ class TrainConfig:
 METRIC_KEYS = ("aim", "cov", "acc", "loss")
 
 
-def _auc_sample_now(e_idx, n_epochs: int, auc_every: int):
+def _auc_sample_now(e_idx, n_epochs, auc_every: int):
     """Sampling predicate shared by every runner: on-cadence epochs AND the
     final epoch, so the value history-level consumers read (the final-epoch
     AUC that analysis.performance aggregates) is always freshly computed,
     never carried stale from up to auc_every-1 epochs earlier (VERDICT r3
-    weak #4; the reference also logs at epoch_num-1, train.py:229)."""
+    weak #4; the reference also logs at epoch_num-1, train.py:229).
+
+    ``e_idx`` and ``n_epochs`` are GLOBAL: when checkpoint_every splits
+    training into several run() calls, the runner adds the chunk's epoch
+    offset to the scanned indices and passes the run's total epoch count, so
+    cadence and final-epoch sampling are invariant to chunking (ADVICE r4)."""
     return (e_idx % auc_every == 0) | (e_idx == n_epochs - 1)
 
 
@@ -163,7 +170,12 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid,
         va_aim, va_cov, va_acc = aim_cov_acc(labels, pred, va_mask)
         metrics = {
             "train": {"aim": tr_aim, "cov": tr_cov, "acc": tr_acc, "loss": train_loss},
-            "val": {"aim": va_aim, "cov": va_cov, "acc": va_acc, "loss": val_loss},
+            "val": {"aim": va_aim, "cov": va_cov, "acc": va_acc, "loss": val_loss,
+                    # micro/macro F1 every epoch (cheap sum reductions, no
+                    # sort) — the north-star "downstream AUC/F1" metric in
+                    # the on-device history (VERDICT r4 next-step 8)
+                    "f1_micro": micro_f1(labels, pred, va_mask),
+                    "f1_macro": macro_f1(labels, pred, va_mask)},
             "pred_num": jnp.sum(
                 jnp.where(node_valid[:, None], pred, 0.0), axis=0
             ).astype(jnp.int32),
@@ -177,13 +189,13 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid,
         return (params, opt_state, tr_mask, va_mask, alpha, last_auc), (metrics, probs)
 
     def one_fold(graph, feats, labels, params, opt_state, tr_mask, va_mask,
-                 alpha, n_epochs):
+                 alpha, epoch_offset, total_epochs, n_epochs):
         # Carry the last pre-update probs out of the scan without stacking
         # the per-epoch (N, C) matrices: scan the metrics, thread probs.
         def body2(carry, x):
             state, _ = carry
             state, (metrics, probs) = epoch_step(
-                graph, feats, labels, state, x, n_epochs)
+                graph, feats, labels, state, x, total_epochs)
             return (state, probs), metrics
 
         n = graph.n_nodes
@@ -192,27 +204,32 @@ def make_fold_runner(graph: Graph, feats, labels, class_weight, node_valid,
         (state, last_probs), history = jax.lax.scan(
             body2,
             ((params, opt_state, tr_mask, va_mask, alpha, auc0), probs0),
-            jnp.arange(n_epochs),
+            jnp.arange(n_epochs) + epoch_offset,  # GLOBAL epoch indices
         )
         params, opt_state = state[0], state[1]
         return params, opt_state, last_probs, history
 
     @functools.partial(jax.jit, static_argnames=("n_epochs",))
     def run_impl(graph, feats, labels, params_batch, opt_batch,
-                 train_masks, val_masks, alpha, n_epochs):
+                 train_masks, val_masks, alpha, epoch_offset, total_epochs,
+                 n_epochs):
         fold = functools.partial(one_fold, n_epochs=n_epochs)
         return jax.vmap(
-            fold, in_axes=(None, None, None, 0, 0, 0, 0, None)
+            fold, in_axes=(None, None, None, 0, 0, 0, 0, None, None, None)
         )(graph, feats, labels, params_batch, opt_batch,
-          train_masks, val_masks, alpha)
+          train_masks, val_masks, alpha, epoch_offset, total_epochs)
 
     def run(params_batch, opt_batch, train_masks, val_masks, alpha,
-            n_epochs: Optional[int] = None):
+            n_epochs: Optional[int] = None, epoch_offset: int = 0,
+            total_epochs: Optional[int] = None):
         if opt_batch is None:
             opt_batch = jax.vmap(tx.init)(params_batch)
+        n_run = n_epochs or cfg.epoch_num
         return run_impl(graph, feats, labels, params_batch, opt_batch,
                         train_masks, val_masks, alpha,
-                        n_epochs=n_epochs or cfg.epoch_num)
+                        jnp.int32(epoch_offset),
+                        jnp.int32(total_epochs or (epoch_offset + n_run)),
+                        n_epochs=n_run)
 
     run.init_opt = lambda p: jax.vmap(tx.init)(p)
     return run, tx
@@ -275,11 +292,15 @@ def make_batched_fold_runner(
         )(probs)
         tr_m = jax.vmap(lambda pd, m: aim_cov_acc(labels, pd, m))(preds, tr_masks)
         va_m = jax.vmap(lambda pd, m: aim_cov_acc(labels, pd, m))(preds, va_masks)
+        va_f1 = jax.vmap(
+            lambda pd, m: (micro_f1(labels, pd, m), macro_f1(labels, pd, m))
+        )(preds, va_masks)
         metrics = {
             "train": {"aim": tr_m[0], "cov": tr_m[1], "acc": tr_m[2],
                       "loss": train_losses},
             "val": {"aim": va_m[0], "cov": va_m[1], "acc": va_m[2],
-                    "loss": val_losses},
+                    "loss": val_losses,
+                    "f1_micro": va_f1[0], "f1_macro": va_f1[1]},
             "pred_num": jax.vmap(
                 lambda pd: jnp.sum(
                     jnp.where(node_valid[:, None], pd, 0.0), axis=0
@@ -308,7 +329,7 @@ def make_batched_fold_runner(
 
     @functools.partial(jax.jit, static_argnames=("n_epochs",))
     def run_impl(pg, feats, labels, params, opt_state, tr_masks, va_masks,
-                 alpha, n_epochs):
+                 alpha, epoch_offset, total_epochs, n_epochs):
         b = tr_masks.shape[0]
         probs0 = jnp.zeros((b, feats.shape[0], labels.shape[1]), jnp.float32)
         auc0 = (jnp.full((b,), 0.5, jnp.float32),
@@ -317,20 +338,21 @@ def make_batched_fold_runner(
         def body(carry, x):
             state, _ = carry
             state, (metrics, probs) = epoch_step(
-                pg, feats, labels, state, x, n_epochs)
+                pg, feats, labels, state, x, total_epochs)
             return (state, probs), metrics
 
         (state, last_probs), history = jax.lax.scan(
             body,
             ((params, opt_state, tr_masks, va_masks, alpha, auc0), probs0),
-            jnp.arange(n_epochs),
+            jnp.arange(n_epochs) + epoch_offset,  # GLOBAL epoch indices
         )
         # history leaves are (E, B); transpose to the (B, E) convention
         history = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), history)
         return state[0], state[1], last_probs, history
 
     def run(params_batch, opt_batch, train_masks, val_masks, alpha,
-            n_epochs: Optional[int] = None):
+            n_epochs: Optional[int] = None, epoch_offset: int = 0,
+            total_epochs: Optional[int] = None):
         # Fold-batched params update through ONE optax state (Adam is
         # elementwise; a vmapped init would give a per-fold `count` that
         # breaks unbatched updates).  Fresh init (opt_batch=None) is exact:
@@ -339,9 +361,12 @@ def make_batched_fold_runner(
         # saved state back in.
         if opt_batch is None:
             opt_batch = tx.init(params_batch)
+        n_run = n_epochs or cfg.epoch_num
         return run_impl(pallas_graph, jnp.asarray(feats), labels,
                         params_batch, opt_batch, train_masks, val_masks,
-                        alpha, n_epochs=n_epochs or cfg.epoch_num)
+                        alpha, jnp.int32(epoch_offset),
+                        jnp.int32(total_epochs or (epoch_offset + n_run)),
+                        n_epochs=n_run)
 
     run.init_opt = tx.init
     return run, tx
@@ -462,6 +487,11 @@ def train(
     label_names:   per-node uniprot accessions for log.tsv (label_list.json
                    first column); node index strings are used when None.
     """
+    # Multi-process (multi-host) runs execute this driver on EVERY process
+    # (single-controller-per-process SPMD); artifacts are written once, by
+    # process 0 — all processes compute identical replicated results (the
+    # sharded runner replicates its outputs), so nothing is lost.
+    is_main = jax.process_index() == 0
     os.makedirs(path, exist_ok=True)
     in_feats = feats.shape[1]
     class_weight = weight_cal(loc_mat_full)
@@ -673,13 +703,14 @@ def train(
                 params, opt_state, f_probs, hist = run(
                     params, opt_state, tr_masks, va_masks,
                     jnp.float32(alpha), n_epochs=n_run,
+                    epoch_offset=done, total_epochs=cfg.epoch_num,
                 )
                 hist = jax.device_get(hist)
                 history = hist if history is None else jax.tree.map(
                     lambda a, b: np.concatenate([a, b], axis=1),
                     history, hist)
                 done += n_run
-                if ck_every and done < cfg.epoch_num:
+                if ck_every and done < cfg.epoch_num and is_main:
                     save_state(ck_file, {
                         "params": params,
                         "opt_state": opt_state,
@@ -690,10 +721,12 @@ def train(
                 if cfg.chunk_callback is not None:
                     cfg.chunk_callback(chunk[0][0], alpha, c0, done)
             f_probs = np.asarray(f_probs)
-            if ck_every and os.path.exists(ck_file):
+            if ck_every and is_main and os.path.exists(ck_file):
                 os.remove(ck_file)
 
             for b, (round_idx, fold_flag, trm, vam) in enumerate(chunk):
+                if not is_main:
+                    continue
                 train_d = fig_acc[round_idx]["train"].setdefault(alpha, {})
                 val_d = fig_acc[round_idx]["validation"].setdefault(alpha, {})
                 train_d[fold_flag] = {
@@ -710,6 +743,10 @@ def train(
                     )
                     val_d[fold_flag]["auc_macro"] = (
                         np.asarray(history["val"]["auc_macro"][b]).astype(float).tolist()
+                    )
+                for f1k in ("f1_micro", "f1_macro"):
+                    val_d[fold_flag][f1k] = (
+                        np.asarray(history["val"][f1k][b]).astype(float).tolist()
                     )
                 # final-epoch per-organelle prediction counts — the value the
                 # reference's fig_alpha_data scrapes back out of txt_log.txt

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def aim_cov_acc(loc_true, loc_pred, mask):
@@ -91,6 +92,32 @@ def micro_f1(loc_true, loc_pred, mask):
     fn = jnp.sum(t & ~p).astype(jnp.float32)
     denom = 2.0 * tp + fp + fn
     return jnp.where(denom > 0, 2.0 * tp / jnp.maximum(denom, 1.0), 0.0)
+
+
+def micro_f1_np(loc_true, loc_pred) -> float:
+    """numpy twin of :func:`micro_f1` (callers pre-select rows, so no mask).
+
+    Shared by analysis.performance so the train-time (jnp) and analysis
+    (numpy) F1 provably agree — one threshold (0.5) and zero-division
+    convention in one place."""
+    t = np.asarray(loc_true) > 0.5
+    p = np.asarray(loc_pred) > 0.5
+    tp = int(np.sum(t & p))
+    fp = int(np.sum(p & ~t))
+    fn = int(np.sum(t & ~p))
+    d = 2 * tp + fp + fn
+    return 2.0 * tp / d if d else 0.0
+
+
+def macro_f1_np(loc_true, loc_pred) -> float:
+    """numpy twin of :func:`macro_f1` (zero_division=0 semantics)."""
+    t = np.asarray(loc_true) > 0.5
+    p = np.asarray(loc_pred) > 0.5
+    tp = np.sum(t & p, axis=0)
+    fp = np.sum(p & ~t, axis=0)
+    fn = np.sum(t & ~p, axis=0)
+    d = 2 * tp + fp + fn
+    return float(np.mean(np.where(d > 0, 2 * tp / np.maximum(d, 1), 0.0)))
 
 
 def macro_f1(loc_true, loc_pred, mask):

@@ -85,6 +85,35 @@ def test_chunked_training_transparent(tmp_path):
                 if f.startswith("ckpt_")]
 
 
+def test_chunked_auc_f1_history_transparent(tmp_path):
+    """AUC/F1 history must be invariant to checkpoint chunking: the sampling
+    cadence runs on GLOBAL epoch indices (ADVICE r4 — a chunk-local predicate
+    freshly sampled AUC at every chunk-boundary epoch).  Unmarked (fast lane)
+    on purpose: this is the cheap engine-run + chunked-resume + history smoke
+    the default `pytest` lane keeps after the slow-marking sweep."""
+    import json
+
+    kw = dict(compute_auc=True, auc_every=2, epoch_num=5)
+    _tiny_train(tmp_path / "plain", **kw)
+    _tiny_train(tmp_path / "chunked", checkpoint_every=2, **kw)
+    with open(tmp_path / "plain" / "fig_data_1.json") as f:
+        ref = json.load(f)
+    with open(tmp_path / "chunked" / "fig_data_1.json") as f:
+        chk = json.load(f)
+    val_r = ref["validation"]["0.1"]
+    val_c = chk["validation"]["0.1"]
+    for fold in val_r:
+        for k in ("auc_micro", "auc_macro", "f1_micro", "f1_macro"):
+            assert k in val_r[fold], f"history missing {k}"
+            np.testing.assert_allclose(
+                val_c[fold][k], val_r[fold][k], rtol=1e-6, atol=1e-7,
+                err_msg=f"{k} history differs between chunked and plain runs")
+        # with auc_every=2 over 5 epochs the carried value at epoch 1 must
+        # equal epoch 0's sample and epoch 3's must equal epoch 2's
+        au = val_r[fold]["auc_micro"]
+        assert au[1] == au[0] and au[3] == au[2]
+
+
 @pytest.mark.slow
 def test_kill_resume_mid_round(tmp_path):
     """A crash after the first chunk leaves a checkpoint; re-running resumes

@@ -30,6 +30,60 @@ def test_rate_interpolation_anchors_and_shape():
     assert rate_single_chip(64) == pytest.approx(MEASURED_BF16_RATES[32])
 
 
+def test_anchors_file_and_fallback(tmp_path, monkeypatch):
+    """plan_mesh consumes a measured-anchors file when present and falls
+    back to the baked constants when absent/malformed, recording the source
+    either way (VERDICT r4 next-step 6)."""
+    import json
+
+    from plagnn_tpu.parallel.planner import load_anchors
+
+    monkeypatch.delenv("PLAGNN_ANCHORS", raising=False)
+    # hermetic: "baked" pins the constants regardless of any repo-level file
+    anc = load_anchors("baked")
+    assert anc["source"] == "baked"
+    assert anc["rates"] == MEASURED_BF16_RATES
+
+    f = tmp_path / "anchors.json"
+    f.write_text(json.dumps({
+        "bf16_rates": {"10": 100e6, "32": 200e6},
+        "structure_tax": 1.05,
+    }))
+    anc = load_anchors(str(f))
+    assert anc["source"] == str(f)
+    assert anc["rates"] == {10: 100e6, 32: 200e6}
+    assert anc["tax"] == 1.05 and anc["max_b"] == 32
+    assert rate_single_chip(32, anc["rates"]) == pytest.approx(200e6)
+
+    # malformed file falls through to baked, never crashes
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(
+        "plagnn_tpu.parallel.planner.DEFAULT_ANCHORS_PATH",
+        str(tmp_path / "missing.json"))
+    assert load_anchors(str(bad))["source"] == "baked"
+    empty = tmp_path / "empty.json"
+    empty.write_text(json.dumps({"bf16_rates": {}}))
+    assert load_anchors(str(empty))["source"] == "baked"
+
+    # the measured rates actually drive the plan: double every rate and the
+    # modeled mesh throughput doubles with it
+    src = np.array([0, 1, 2, 3] * 50)
+    dst = np.array([1, 2, 3, 0] * 50)
+    base = plan_mesh(2, src, dst, 4, total_jobs=10, anchors_path="baked")
+    fast = tmp_path / "fast.json"
+    fast.write_text(json.dumps({
+        "bf16_rates": {str(b): 2 * r for b, r in MEASURED_BF16_RATES.items()},
+    }))
+    boosted = plan_mesh(2, src, dst, 4, total_jobs=10,
+                        anchors_path=str(fast))
+    assert boosted.anchors_source == str(fast)
+    assert base.anchors_source == "baked"
+    assert boosted.chosen.edge_folds_per_s == pytest.approx(
+        2 * base.chosen.edge_folds_per_s, rel=1e-3)
+    assert f"anchors: {fast}" in boosted.summary()
+
+
 def test_counts_1d_hand_checked():
     # 4 nodes, 2 chips (c=2: chip0 owns {0,1}, chip1 owns {2,3})
     src = np.array([0, 1, 2, 3, 0])
