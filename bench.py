@@ -132,26 +132,36 @@ def timed_chained(chain_builder, k_lo=1, k_hi=5, reps=3):
 
 
 def load_achievable_rate():
-    """Measured random-row DMA rates from benchmarks/dma_ceiling_r04.json →
-    row_bytes → GB/s interpolator, or None when the sweep hasn't run."""
-    path = _os.path.join(
+    """Measured random-row DMA rates from benchmarks/dma_ceiling.json →
+    row_bytes → GB/s interpolator, or None when the sweep hasn't run.
+
+    Returns rate(row_bytes, which="mid") with "lo"/"hi" giving the
+    per-point spread bounds (falling back to the midpoint when a point
+    carries no spread) — bench propagates them into vs_achievable_range."""
+    bdir = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),
-        "benchmarks", "results", "dma_ceiling_r04.json")
+        "benchmarks", "results")
+    path = _os.path.join(bdir, "dma_ceiling.json")
+    if not _os.path.exists(path):
+        path = _os.path.join(bdir, "dma_ceiling_r04.json")  # legacy name
     if not _os.path.exists(path):
         return None
     with open(path) as f:
         data = json.load(f)
     pts = sorted(
-        (r["row_kb"] * 1024, r["gbps"] * 1e9)
+        (r["row_kb"] * 1024, r["gbps"] * 1e9,
+         r.get("gbps_lo", r["gbps"]) * 1e9,
+         r.get("gbps_hi", r["gbps"]) * 1e9)
         for r in data.get("sweep", [])
         if r["pattern"] == "random" and r["ring_depth"] == 8
     )
     if len(pts) < 2:
         return None
 
-    def rate(row_bytes: float) -> float:
+    def rate(row_bytes: float, which: str = "mid") -> float:
+        col = {"mid": 1, "lo": 2, "hi": 3}[which]
         xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
+        ys = [p[col] for p in pts]
         if row_bytes <= xs[0]:
             return ys[0]
         if row_bytes >= xs[-1]:
@@ -475,15 +485,24 @@ def main():
     # random-row DMA rate at its own row sizes (benchmarks/dma_ceiling.py,
     # VERDICT r3 next-step 2) instead of nominal HBM bandwidth.
     vs_ach = None
+    vs_ach_range = None
     ach_rate = load_achievable_rate()
     if ach_rate is not None and best.get("rows"):
-        t_per_edge = sum(
-            bytes_i / ach_rate(row_i) for row_i, bytes_i in best["rows"])
-        ach_ceiling = best["folds"] / t_per_edge  # edge-folds/s
+        def ceiling(which):
+            t_per_edge = sum(
+                bytes_i / ach_rate(row_i, which)
+                for row_i, bytes_i in best["rows"])
+            return best["folds"] / t_per_edge  # edge-folds/s
+
+        ach_ceiling = ceiling("mid")
         vs_ach = best["eps"] / ach_ceiling
+        # spread bounds: the FASTER the measured ring (hi), the LOWER the
+        # ratio — range = [vs hi-rate ceiling, vs lo-rate ceiling]
+        vs_ach_range = [best["eps"] / ceiling("hi"),
+                        best["eps"] / ceiling("lo")]
         log(f"achievable ceiling at measured DMA rates: "
             f"{ach_ceiling/1e6:.1f} M edge-folds/s → vs_achievable "
-            f"{vs_ach:.3f}")
+            f"{vs_ach:.3f} [{vs_ach_range[0]:.3f}, {vs_ach_range[1]:.3f}]")
     log(f"best: {best['name']} at {best['eps']/1e6:.1f} M edge(-fold)s/s; "
         f"own SOL {own_sol/1e6:.1f} M → {vs_own:.3f} "
         f"(legacy f32-bytes SOL {f32_sol/1e6:.1f} M → {vs_f32:.3f})")
@@ -495,6 +514,9 @@ def main():
         "vs_baseline": round(vs_own, 4),
         "vs_f32_sol": round(vs_f32, 4),
         "vs_achievable": round(vs_ach, 4) if vs_ach is not None else None,
+        "vs_achievable_range": (
+            [round(v, 4) for v in vs_ach_range]
+            if vs_ach_range is not None else None),
         "bytes_per_edge": int(best["bytes_per_edge"]),
         "dtype": best["dtype"],
         "winner": best["name"],

@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                        "results", "big_graph_r04.json")
+                        "results", "big_graph_r05.json")
 
 
 def log(*a):
@@ -82,13 +82,16 @@ def run_boundary():
     log(f"device: {dev}")
     rng = np.random.default_rng(23)
     out = {"device": str(dev.device_kind), "cases": []}
-    for n_pad, dtype in (((1 << 15), "float32"),
-                         ((1 << 15) + 256, "float32"),
-                         ((1 << 15) + 256, "bfloat16")):
+    for n_pad, dtype, pos in (((1 << 15), "float32", None),
+                              ((1 << 15) + 256, "float32", None),
+                              ((1 << 15) + 256, "float32", False),
+                              ((1 << 15) + 256, "bfloat16", None),
+                              ((1 << 15) + 256, "bfloat16", False)):
         n_real = n_pad - 256 if n_pad > (1 << 15) else n_pad - 128
         src = rng.integers(0, n_real, 40000)
         dst = rng.integers(0, n_real, 40000)
-        pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+        pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                                positional=pos)
         b, f = 1, (2048 if dtype == "bfloat16" else 1024)  # bf16 tile: 2048
         x32 = np.asarray(
             jnp.asarray(rng.standard_normal((n_pad, b, f)).astype(np.float32))
@@ -115,7 +118,12 @@ def run_boundary():
         gr_ref = np.asarray(jax.jit(jax.grad(lambda xx: jnp.sum(
             spmm_max(g, xx) ** 2)))(jnp.asarray(x32)[:, 0]))
         np.testing.assert_allclose(gr[:, 0], gr_ref, atol=0)
-        path = "unpacked_int32" if n_pad > (1 << 15) else "packed_int16"
+        if pg.fwd.pos is not None:
+            path = "positional_int16"
+        elif n_pad > (1 << 15):
+            path = "unpacked_int32"
+        else:
+            path = "packed_int16"
         log(f"n_pad={n_pad} {dtype} ({path}): fwd+bwd exact vs XLA oracle")
         out["cases"].append({"n_pad_nodes": n_pad, "dtype": dtype,
                              "bwd_path": path, "exact_vs_xla": True})
@@ -154,25 +162,42 @@ def run_rate(n_nodes: int, n_edges: int, fold_batches):
         rpb = pick_rows_per_block_budget(stride)
         n_pad = ((n_nodes + 256) + rpb - 1) // rpb * rpb
         t0 = time.time()
+        # > 2^15 nodes: positional argmax by default (fused int16 backward
+        # rows + int16 VJP residual — the r4 unpacked-int32 fallback cost 2x
+        # the bwd bytes and 2x the residual HBM, capping the config at B=4)
         pg = build_pallas_graph(src, dst, n_pad, rows_per_block=rpb)
         log(f"B={b}: pallas graph built in {time.time()-t0:.1f}s "
-            f"(n_pad={n_pad}, rows_per_block={rpb})")
+            f"(n_pad={n_pad}, rows_per_block={rpb}, "
+            f"positional={pg.fwd.pos is not None})")
         rng = np.random.default_rng(70)
+        # bf16 end to end: the engine's production dtype for this config
+        # (an f32 master copy of x would add 2.7 GB at B=4)
         x = jnp.asarray(
-            rng.standard_normal((n_pad, b, f_pad)).astype(np.float32))
+            rng.standard_normal((n_pad, b, f_pad)).astype(np.float32)
+        ).astype(jnp.bfloat16)
 
         raw = lambda pg_, xx: jnp.sum(jax.grad(  # noqa: E731
             lambda xv: jnp.sum(
-                pallas_spmm_max(pg_, xv.astype(jnp.bfloat16))
-                .astype(jnp.float32) ** 2))(xx))
+                pallas_spmm_max(pg_, xv)
+                .astype(jnp.float32) ** 2))(xx).astype(jnp.float32))
 
         def make(k):
             return jax.jit(lambda pg_, xx: jax.lax.fori_loop(
                 0, k, lambda i, acc: acc + raw(pg_, xx), jnp.float32(0.0)))
 
         lo, hi = make(1), make(3)
-        warm_with_retry(f"B={b} chains", lambda: (
-            sync_scalar(lo(pg, x)), sync_scalar(hi(pg, x))))
+        try:
+            warm_with_retry(f"B={b} chains", lambda: (
+                sync_scalar(lo(pg, x)), sync_scalar(hi(pg, x))), attempts=2)
+        except Exception as ex:
+            msg = str(ex)
+            feasible = "RESOURCE_EXHAUSTED" not in msg and "hbm" not in msg
+            log(f"B={b}: infeasible ({msg[:200]})")
+            out["per_b"][str(b)] = {
+                "infeasible": True,
+                "reason": "hbm_oom" if not feasible else msg[:200],
+            }
+            continue
         best_lo = best_hi = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -204,7 +229,7 @@ def main():
     ap.add_argument("--mode", choices=("boundary", "rate"), required=True)
     ap.add_argument("--nodes", type=int, default=330000)
     ap.add_argument("--edges", type=int, default=10_000_000)
-    ap.add_argument("--fold-batches", nargs="+", type=int, default=[4])
+    ap.add_argument("--fold-batches", nargs="+", type=int, default=[4, 8, 12])
     args = ap.parse_args()
     if args.mode == "boundary":
         run_boundary()

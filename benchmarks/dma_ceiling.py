@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                        "results", "dma_ceiling_r04.json")
+                        "results", "dma_ceiling.json")
 
 T_E = 1024   # indices per SMEM chunk (matches the production kernels)
 G = 8        # rows per ring slot (one byte-counting semaphore per slot)
@@ -221,14 +221,24 @@ def measure(row_kb: int, ng: int, pattern: str, n_rows: int,
     t_best = (best_hi - best_lo) / (k_hi - k_lo)
     gbps = n_fetch * row_bytes / t_exec / 1e9
     ns_per_fetch = t_exec / n_fetch * 1e9
+    # per-point spread across the paired diffs (VERDICT r4 next-step 7):
+    # bench.py propagates it into a vs_achievable_range on the headline
+    spread = {}
+    if pair_diffs[0] > 0:
+        spread["gbps_hi"] = round(
+            n_fetch * row_bytes / pair_diffs[0] / 1e9, 1)
+    if pair_diffs[-1] > 0:
+        spread["gbps_lo"] = round(
+            n_fetch * row_bytes / pair_diffs[-1] / 1e9, 1)
     log(f"row {row_kb:>3} KB  ng {ng:>2}  {pattern:>6}: "
         f"{gbps:7.1f} GB/s  ({ns_per_fetch:6.1f} ns/row, "
         f"{n_fetch} rows x({k_lo},{k_hi}), median of {reps}; "
-        f"best-pair {n_fetch * row_bytes / t_best / 1e9:.1f})")
+        f"spread [{spread.get('gbps_lo', '?')}, {spread.get('gbps_hi', '?')}]"
+        f"; best-pair {n_fetch * row_bytes / t_best / 1e9:.1f})")
     return {"row_kb": row_kb, "ring_depth": ng, "pattern": pattern,
             "gbps": round(gbps, 1), "ns_per_row": round(ns_per_fetch, 1),
             "gbps_best": round(n_fetch * row_bytes / t_best / 1e9, 1),
-            "n_fetch": int(n_fetch)}
+            "n_fetch": int(n_fetch), **spread}
 
 
 def main():

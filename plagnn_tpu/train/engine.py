@@ -572,6 +572,12 @@ def train(
         esize = 2 if aggregation_dtype() is not None else 4
         from ..ops.pallas.spmm_kernels import pick_hub_sizes
         kf, kb = pick_hub_sizes(cfg.hub_cache, stride, esize)
+        if graph.n_nodes > (1 << 15):
+            # > 2^15 padded nodes route through positional argmax (fused
+            # int16 backward at any node count); the hub cache is not yet
+            # supported there — positional's halved backward bytes beat the
+            # hub's fractional saving on these shapes
+            kf = kb = 0
         rpb = pick_rows_per_block(
             graph.n_nodes, stride,
             arena_bytes=(kf + 1) * stride * esize if kf else 0)

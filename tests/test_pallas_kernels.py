@@ -459,3 +459,155 @@ def test_hub_max_bwd_big_node_fallback():
         pallas_spmm_max(pgh, x_, interpret=True).astype(jnp.float32)))(x)
     np.testing.assert_array_equal(
         np.asarray(g0.astype(jnp.float32)), np.asarray(gh.astype(jnp.float32)))
+
+
+@pytest.mark.parametrize("mix", [False, True])
+def test_mix_tails_layouts_agree(mix):
+    """The mixed-tail stream packing (round-5: removes the ~1.116x per-row
+    G-padding DMA waste) and the legacy padded layout must produce identical
+    forward values/argmax routing; backward sums agree to f32
+    reduction-order tolerance (the summand SET is identical, only the add
+    order within a source row changes)."""
+    rng = np.random.default_rng(7)
+    src, dst = make_graph(rng, n_real=120, e=1400)
+    n_pad, b, f = 128, 2, 512
+    pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                            mix_tails=mix)
+    # low-entropy values make argmax ties common — the strongest routing test
+    x = jnp.asarray(
+        rng.integers(0, 4, (n_pad, b, f)).astype(np.float32))
+    out = np.asarray(pallas_spmm_max(pg, x, interpret=True))
+    xn = np.asarray(x)
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s_, d_ in zip(src, dst):
+        adj[int(d_)].append(int(s_))
+    ref = np.zeros_like(xn)
+    for d_, ss in adj.items():
+        ref[d_] = xn[ss].max(0)
+    np.testing.assert_array_equal(out, ref)
+
+    gr = np.asarray(jax.grad(
+        lambda xx: jnp.sum(pallas_spmm_max(pg, xx, interpret=True) ** 2)
+    )(x))
+    egr = np.zeros_like(xn)
+    for d_, ss in adj.items():
+        ss_sorted = sorted(ss)   # first-maximum = smallest source id on ties
+        for bb in range(b):
+            for ff in range(f):
+                s_best = ss_sorted[int(np.argmax(xn[ss_sorted, bb, ff]))]
+                egr[s_best, bb, ff] += 2 * ref[d_, bb, ff]
+    np.testing.assert_allclose(gr, egr, atol=1e-4)
+
+    # sum reduce through the same mixed groups
+    outs = np.asarray(pallas_spmm_sum(pg, x, interpret=True))
+    refs = np.zeros_like(xn)
+    for d_, ss in adj.items():
+        refs[d_] = xn[ss].sum(0)
+    np.testing.assert_allclose(outs, refs, atol=1e-4)
+
+
+@pytest.mark.parametrize("mix", [False, True])
+def test_bf16_bwd_mask16_variant(mix, monkeypatch):
+    """The int16 arithmetic-mask hit test must route gradients identically
+    to the int32-extended compare (bit-identical selects by construction)."""
+    from plagnn_tpu.ops.pallas import spmm_kernels as K
+
+    rng = np.random.default_rng(3)
+    src, dst = make_graph(rng, n_real=120, e=1200)
+    n_pad, b, f = 128, 4, 512
+    pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                            mix_tails=mix)
+    x = jnp.asarray(
+        rng.integers(0, 4, (n_pad, b, f)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def grad_with(variant):
+        monkeypatch.setattr(K, "_BWD16_HIT", variant)
+        return np.asarray(jax.grad(
+            lambda xx: jnp.sum(
+                pallas_spmm_max(pg, xx, interpret=True).astype(jnp.float32)
+                ** 2)
+        )(x).astype(jnp.float32))
+
+    np.testing.assert_array_equal(grad_with("mask16"), grad_with("cmp32"))
+
+
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_positional_argmax_routing(dt):
+    """Positional mode (big-graph scheme: argmax recorded as edge rank
+    within the destination row, int16-safe at any node count) must produce
+    identical forward values and identical gradient routing to the
+    global-id scheme — including under common ties."""
+    rng = np.random.default_rng(11)
+    src, dst = make_graph(rng, n_real=120, e=1400)
+    n_pad, b, f = 128, 2 if dt == jnp.float32 else 4, 512
+    pg_id = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                               positional=False)
+    pg_pos = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                                positional=True)
+    assert pg_pos.fwd.pos is not None and pg_pos.bwd.pos is not None
+    x = jnp.asarray(
+        rng.integers(0, 4, (n_pad, b, f)).astype(np.float32)).astype(dt)
+
+    out_id = np.asarray(
+        pallas_spmm_max(pg_id, x, interpret=True).astype(jnp.float32))
+    out_pos = np.asarray(
+        pallas_spmm_max(pg_pos, x, interpret=True).astype(jnp.float32))
+    np.testing.assert_array_equal(out_pos, out_id)
+
+    def grad_of(pg):
+        return np.asarray(jax.grad(
+            lambda xx: jnp.sum(
+                pallas_spmm_max(pg, xx, interpret=True).astype(jnp.float32)
+                ** 2)
+        )(x).astype(jnp.float32))
+
+    np.testing.assert_array_equal(grad_of(pg_pos), grad_of(pg_id))
+
+
+def test_positional_beyond_int16_nodes_interpret():
+    """Past 2^15 padded nodes the default build is positional and the bf16
+    backward stays on the fused-int16 path (no f32 fallback) — verify
+    routing vs the scipy-style oracle in interpret mode."""
+    rng = np.random.default_rng(5)
+    n_pad = (1 << 15) + 128
+    n_real = n_pad - 128
+    e = 3000
+    src = rng.integers(0, n_real, e)
+    dst = rng.integers(0, n_real, e)
+    pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64)
+    assert pg.fwd.pos is not None, "big graphs default to positional"
+    b, f = 4, 512
+    x = jnp.asarray(
+        rng.integers(0, 4, (n_pad, b, f)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    gr = np.asarray(jax.grad(
+        lambda xx: jnp.sum(
+            pallas_spmm_max(pg, xx, interpret=True).astype(jnp.float32) ** 2)
+    )(x).astype(jnp.float32))
+    xn = np.asarray(x.astype(jnp.float32))
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s_, d_ in zip(src, dst):
+        adj[int(d_)].append(int(s_))
+    egr = np.zeros_like(xn)
+    for d_, ss in adj.items():
+        ss_sorted = sorted(ss)
+        mx = xn[ss_sorted].max(0)
+        for bb in range(b):
+            for ff in range(f):
+                s_best = ss_sorted[int(np.argmax(xn[ss_sorted, bb, ff]))]
+                egr[s_best, bb, ff] += 2 * mx[bb, ff]
+    np.testing.assert_allclose(gr, egr, atol=1e-4)
+
+
+def test_positional_rejects_degree_overflow():
+    src = np.zeros(40000, np.int64)
+    dst = np.zeros(40000, np.int64)  # one row with 40k in-edges
+    src[:] = np.arange(40000) % 100 + 1
+    with pytest.raises(ValueError, match="max in-degree"):
+        build_pallas_graph(src, dst, 128, rows_per_block=64,
+                           positional=True)
