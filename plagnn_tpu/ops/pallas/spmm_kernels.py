@@ -89,6 +89,11 @@ DEFAULT_R = 64
 # measurement + benchmarks/hw_correctness.py exactness.
 _BWD16_HIT = os.environ.get("PLAGNN_BWD16_HIT", "cmp32")
 
+# Positional-argmax rank cap: max in-edges per destination row before the
+# mega-row split kicks in (ranks must fit positive int16).  Module-level so
+# tests can exercise the split machinery on small graphs.
+POS_RANK_CAP = (1 << 15) - 1
+
 _NEG = float(-jnp.inf)
 
 
@@ -189,7 +194,28 @@ class HubStream:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blk_ptr", "src", "dst_local", "hub", "pos"],
+    data_fields=["rows", "subs"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class SplitTable:
+    """Mega-row split for positional argmax (rows whose in-degree exceeds
+    the int16 rank cap).  Each such row's in-edges are reassigned to
+    ``subs`` virtual sub-rows (unused padding node slots, <= 2^15 - 1 edges
+    each, sorted-source chunks in ascending sub-row order); the kernel
+    treats them as ordinary rows.  A small XLA post-combine maxes the
+    sub-rows back into the real row and records the WINNING SUB-ROW INDEX
+    per element in the real row's argmax slot; the backward pre-scatters
+    the masked cotangent into the sub-row slots (whose fused rows the
+    transpose stream actually fetches)."""
+
+    rows: jax.Array   # (S,) int32 — the real mega rows
+    subs: jax.Array   # (S, K) int32 sub-row slot ids, -1 pad
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blk_ptr", "src", "dst_local", "hub", "pos", "split"],
     meta_fields=["n_blocks", "rows_per_block", "n_pad_nodes", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +235,8 @@ class BlockedCsr:
     # The forward stream records this instead of the global source id, so
     # the backward's fused rows stay int16 at ANY node count.
     pos: jax.Array | None = None
+    # mega-row split table (positional mode, rows past the rank cap)
+    split: SplitTable | None = None
 
 
 def _build_stream(
@@ -892,10 +920,49 @@ def _run_spmm(
         interpret=interpret,
     )
     res = fn(*scalar_args, *ins)
+    split = blocked.split
     if with_argmax:
         out, arg = res
-        return out.reshape(n_pad, b, f_pad), arg.reshape(n_pad, b, f_pad)
-    return res.reshape(n_pad, b, f_pad)
+        out = out.reshape(n_pad, b, f_pad)
+        arg = arg.reshape(n_pad, b, f_pad)
+        if split is not None:
+            out, win = _split_combine(split, out, reduce)
+            # the real mega row's argmax slot holds the WINNING SUB-ROW
+            # index (its own row has no direct edges, so the transpose
+            # stream never fetches it — the slot is free for this)
+            arg = arg.at[split.rows].set(win.astype(arg.dtype))
+        return out, arg
+    out = res.reshape(n_pad, b, f_pad)
+    if split is not None:
+        out, _ = _split_combine(split, out, reduce)
+    return out
+
+
+def _split_combine(split: SplitTable, out: jax.Array, reduce: str):
+    """Combine mega-row sub-rows back into their real rows (see SplitTable).
+    Returns (out, win) — win (S, b, f) is the first-maximum winning sub-row
+    index (ascending sub-row order == ascending source order, so argmax's
+    first-occurrence tie rule preserves global first-max semantics)."""
+    subs = split.subs                       # (S, K), -1 pad
+    valid = subs >= 0
+    sub_vals = out[jnp.maximum(subs, 0)]    # (S, K, b, f)
+    if reduce == "sum":
+        vals = jnp.where(valid[:, :, None, None], sub_vals,
+                         jnp.zeros((), out.dtype))
+        comb = jnp.sum(vals.astype(jnp.float32), axis=1).astype(out.dtype)
+        win = jnp.zeros(comb.shape, jnp.int32)
+    else:
+        neg = jnp.asarray(-jnp.inf, out.dtype)
+        vals = jnp.where(valid[:, :, None, None], sub_vals, neg)
+        comb = jnp.max(vals, axis=1)
+        win = jnp.argmax(vals, axis=1).astype(jnp.int32)
+    out = out.at[split.rows].set(comb)
+    # restore the empty-row contract at the sub-row slots (they are padding
+    # rows from the caller's point of view); invalid (-1) slots re-zero a
+    # valid sibling, which is being zeroed anyway
+    tgt = jnp.where(valid, subs, subs[:, :1])
+    out = out.at[tgt.reshape(-1)].set(jnp.zeros((), out.dtype))
+    return out, win
 
 
 def _masked_bwd_kernel(
@@ -1536,10 +1603,26 @@ def _run_masked_bwd16(
 
 def _run_masked_bwd(
     blocked_t: BlockedCsr, g: jax.Array, argsrc: jax.Array,
-    interpret: bool = False,
+    interpret: bool = False, split: SplitTable | None = None,
 ):
     big = blocked_t.n_pad_nodes > 1 << 15
     positional = blocked_t.pos is not None
+    if split is not None:
+        # Mega-row split pre-scatter: route each real row's cotangent to
+        # the sub-row that won its max (the forward stored the winning
+        # sub-row index in the real row's argmax slot); the transpose
+        # stream fetches SUB-ROW fused rows, never the real mega row's.
+        subs = split.subs                           # (S, K)
+        win = argsrc[split.rows].astype(jnp.int32)  # (S, b, f)
+        k_ix = jnp.arange(subs.shape[1], dtype=jnp.int32)
+        gsel = jnp.where(
+            win[:, None] == k_ix[None, :, None, None],
+            g[split.rows][:, None], jnp.zeros((), g.dtype))  # (S, K, b, f)
+        # invalid (-1) slots write zeros to the dummy row (harmless: its
+        # argmax lanes are -1 and never hit)
+        tgt = jnp.where(subs >= 0, subs, blocked_t.n_pad_nodes - 1)
+        g = g.at[tgt.reshape(-1)].set(
+            gsel.reshape(-1, *g.shape[1:]), unique_indices=False)
     if g.dtype == jnp.bfloat16:
         if big and not positional:
             # The bf16 backward stores ids as int16 lanes, which cannot
@@ -1681,25 +1764,62 @@ def build_pallas_graph(
     if positional is None:
         positional = n_pad_nodes > (1 << 15)
     aux = None
+    split = None
     if positional:
         assert mix_tails, "positional argmax requires the mixed-tail layout"
         assert hub_k == 0 and hub_k_bwd == 0, (
             "positional argmax does not support the hub cache yet")
-        src64 = np.asarray(src, np.int64)
-        dst64 = np.asarray(dst, np.int64)
-        counts = np.bincount(dst64, minlength=n_pad_nodes)
-        max_deg = int(counts.max(initial=0))
-        if max_deg >= (1 << 15):
-            raise ValueError(
-                f"positional argmax needs max in-degree < 32768; got "
-                f"{max_deg} — shard the graph (parallel.partition)")
-        order = np.lexsort((src64, dst64))
-        start = np.zeros(n_pad_nodes, np.int64)
-        np.cumsum(counts[:-1], out=start[1:])
-        rank_sorted = np.arange(len(src64)) - start[dst64[order]]
-        aux = np.empty(len(src64), np.int64)
-        aux[order] = rank_sorted
-    return PallasGraph(
+        cap = POS_RANK_CAP    # max edges per destination row (ranks int16)
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        counts = np.bincount(dst, minlength=n_pad_nodes)
+
+        def _ranks(counts_, dst_, src_):
+            order = np.lexsort((src_, dst_))
+            start = np.zeros(n_pad_nodes, np.int64)
+            np.cumsum(counts_[:-1], out=start[1:])
+            rk = np.empty(len(src_), np.int64)
+            rk[order] = np.arange(len(src_)) - start[dst_[order]]
+            return rk
+
+        mega = np.flatnonzero(counts > cap)
+        if len(mega):
+            # Mega-row split: reassign each over-cap row's in-edges to
+            # virtual sub-rows claimed from unused padding node slots
+            # (sorted-source chunks of <= cap edges, ascending sub-row
+            # order == ascending source order, so first-max semantics
+            # survive the post-combine).  See SplitTable.
+            used = np.zeros(n_pad_nodes, bool)
+            used[src] = True
+            used[dst] = True
+            used[n_pad_nodes - 1] = True   # dummy
+            free = np.flatnonzero(~used)
+            k_each = -(-counts[mega] // cap)
+            total = int(k_each.sum())
+            if total > len(free):
+                raise ValueError(
+                    f"positional mega-row split needs {total} unused node "
+                    f"slots but only {len(free)} padded spares exist — "
+                    "pad the node count further")
+            slots = free[-total:]          # highest ids: the padding region
+            k_max = int(k_each.max())
+            subs = np.full((len(mega), k_max), -1, np.int64)
+            off = 0
+            for i, km in enumerate(k_each):
+                subs[i, :km] = slots[off:off + km]
+                off += km
+            rank0 = _ranks(counts, dst, src)
+            row_ix = np.full(n_pad_nodes, -1, np.int64)
+            row_ix[mega] = np.arange(len(mega))
+            is_mega = row_ix[dst] >= 0
+            dst = dst.copy()
+            dst[is_mega] = subs[row_ix[dst[is_mega]], rank0[is_mega] // cap]
+            split = SplitTable(
+                rows=jnp.asarray(mega.astype(np.int32)),
+                subs=jnp.asarray(subs.astype(np.int32)))
+            counts = np.bincount(dst, minlength=n_pad_nodes)
+        aux = _ranks(counts, dst, src)
+    pg = PallasGraph(
         fwd=build_blocked_csr(src, dst, n_pad_nodes, rows_per_block,
                               hub_k=hub_k, mix_tails=mix_tails, aux=aux),
         bwd=build_blocked_csr(
@@ -1708,6 +1828,14 @@ def build_pallas_graph(
             else rows_per_block_bwd,
             hub_k=hub_k_bwd, mix_tails=mix_tails, aux=aux),
     )
+    if split is not None:
+        # fwd only: _run_spmm's post-combine keys on blocked.split, and the
+        # TRANSPOSE stream's output rows are forward SOURCES — combining
+        # there would overwrite real rows with empty sub-row zeros.  The
+        # backward paths receive the table explicitly from the VJPs.
+        pg = PallasGraph(
+            fwd=dataclasses.replace(pg.fwd, split=split), bwd=pg.bwd)
+    return pg
 
 
 def pallas_spmm_max(
@@ -1733,7 +1861,8 @@ def pallas_spmm_max(
         return out, (arg.astype(jnp.int16) if small_arg else arg)
 
     def _bwd(arg, g):
-        return (_run_masked_bwd(pgraph.bwd, g, arg, interpret=interpret),)
+        return (_run_masked_bwd(pgraph.bwd, g, arg, interpret=interpret,
+                                split=pgraph.fwd.split),)
 
     _f.defvjp(_fwd, _bwd)
     return _f(x)
@@ -1753,6 +1882,18 @@ def pallas_spmm_sum(
         return _f(x), None
 
     def _bwd(_, g):
+        sp = pgraph.fwd.split
+        if sp is not None:
+            # sum VJP over a mega-row split: every sub-row's cotangent is
+            # the real row's (all edges contribute in a sum).  Writes to
+            # invalid (-1) slots land on the dummy row, which the kernel
+            # identity-fills to 0 before reading.
+            k = sp.subs.shape[1]
+            tgt = jnp.where(sp.subs >= 0, sp.subs,
+                            pgraph.bwd.n_pad_nodes - 1)
+            rep = jnp.broadcast_to(
+                g[sp.rows][:, None], (sp.rows.shape[0], k, *g.shape[1:]))
+            g = g.at[tgt.reshape(-1)].set(rep.reshape(-1, *g.shape[1:]))
         return (_run_spmm(pgraph.bwd, g, reduce="sum", with_argmax=False,
                           interpret=interpret),)
 

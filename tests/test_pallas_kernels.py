@@ -604,10 +604,63 @@ def test_positional_beyond_int16_nodes_interpret():
     np.testing.assert_allclose(gr, egr, atol=1e-4)
 
 
-def test_positional_rejects_degree_overflow():
-    src = np.zeros(40000, np.int64)
-    dst = np.zeros(40000, np.int64)  # one row with 40k in-edges
-    src[:] = np.arange(40000) % 100 + 1
-    with pytest.raises(ValueError, match="max in-degree"):
+def test_positional_mega_row_split(monkeypatch):
+    """Rows past the positional rank cap are split into virtual sub-rows
+    (claimed from unused padding slots) with an XLA post-combine; forward
+    values, argmax routing, and sum-VJP must all equal the global-id
+    scheme.  The cap is monkeypatched small so a toy graph exercises it."""
+    from plagnn_tpu.ops.pallas import spmm_kernels as K
+
+    monkeypatch.setattr(K, "POS_RANK_CAP", 40)
+    rng = np.random.default_rng(9)
+    src, dst = make_graph(rng, n_real=90, e=1000)
+    # force two mega rows with >40 distinct in-neighbors each
+    extra_s = np.concatenate([60 + np.arange(51), 40 + np.arange(46)])
+    extra_d = np.concatenate([np.full(51, 3), np.full(46, 7)])
+    src = np.concatenate([src, extra_s])
+    dst = np.concatenate([dst, extra_d])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    n_pad, b, f = 128, 2, 512
+    counts = np.bincount(dst, minlength=n_pad)
+    assert (counts > 40).sum() >= 1, "fixture must contain a mega row"
+
+    pg_id = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                               positional=False)
+    pg_pos = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
+                                positional=True)
+    assert pg_pos.fwd.split is not None
+    x = jnp.asarray(rng.integers(0, 4, (n_pad, b, f)).astype(np.float32))
+
+    out_id = np.asarray(pallas_spmm_max(pg_id, x, interpret=True))
+    out_pos = np.asarray(pallas_spmm_max(pg_pos, x, interpret=True))
+    np.testing.assert_array_equal(out_pos, out_id)
+
+    def grad_of(pg):
+        return np.asarray(jax.grad(
+            lambda xx: jnp.sum(
+                pallas_spmm_max(pg, xx, interpret=True) ** 2))(x))
+
+    np.testing.assert_array_equal(grad_of(pg_pos), grad_of(pg_id))
+
+    # sum reduce + its VJP through the split
+    s_id = np.asarray(pallas_spmm_sum(pg_id, x, interpret=True))
+    s_pos = np.asarray(pallas_spmm_sum(pg_pos, x, interpret=True))
+    np.testing.assert_allclose(s_pos, s_id, atol=1e-4)
+    gs_id = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.sin(
+        pallas_spmm_sum(pg_id, xx, interpret=True))))(x))
+    gs_pos = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.sin(
+        pallas_spmm_sum(pg_pos, xx, interpret=True))))(x))
+    np.testing.assert_allclose(gs_pos, gs_id, atol=1e-4)
+
+
+def test_positional_split_rejects_when_no_spare_slots(monkeypatch):
+    from plagnn_tpu.ops.pallas import spmm_kernels as K
+
+    monkeypatch.setattr(K, "POS_RANK_CAP", 40)
+    # every id 0..126 used, one row with > cap in-edges, dummy=127 reserved
+    src = np.arange(126) + 1
+    dst = np.zeros(126, np.int64)
+    with pytest.raises(ValueError, match="unused node slots"):
         build_pallas_graph(src, dst, 128, rows_per_block=64,
                            positional=True)
