@@ -90,6 +90,14 @@ def run_boundary():
         n_real = n_pad - 256 if n_pad > (1 << 15) else n_pad - 128
         src = rng.integers(0, n_real, 40000)
         dst = rng.integers(0, n_real, 40000)
+        # dedup: duplicate (src, dst) pairs are outside the graph contract
+        # (the pipeline's edge sets are unique, data/biogrid.py).  On
+        # duplicates the id-based backward routes the gradient to EVERY
+        # copy of the argmax edge while the positional backward routes to
+        # exactly one (DGL's edge-argmax semantics) — both self-consistent,
+        # but not bit-comparable.
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        src, dst = pairs[:, 0], pairs[:, 1]
         pg = build_pallas_graph(src, dst, n_pad, rows_per_block=64,
                                 positional=pos)
         b, f = 1, (2048 if dtype == "bfloat16" else 1024)  # bf16 tile: 2048
@@ -115,9 +123,28 @@ def run_boundary():
             lambda: np.asarray(jax.jit(jax.grad(lambda xx: jnp.sum(
                 pallas_spmm_max(pg, xx.astype(x.dtype))
                 .astype(jnp.float32) ** 2)))(jnp.asarray(x32))))
-        gr_ref = np.asarray(jax.jit(jax.grad(lambda xx: jnp.sum(
-            spmm_max(g, xx) ** 2)))(jnp.asarray(x32)[:, 0]))
-        np.testing.assert_allclose(gr[:, 0], gr_ref, atol=0)
+        if dtype == "bfloat16":
+            # dx is RETURNED in bf16 (the input dtype): multi-hit f32 sums
+            # round once at the end, so the meaningful exactness claim is
+            # vs the f32 pallas path rounded the same way (identical f32
+            # accumulation order), not vs the unrounded XLA oracle.
+            gr32 = np.asarray(jax.jit(jax.grad(lambda xx: jnp.sum(
+                pallas_spmm_max(pg, xx).astype(jnp.float32) ** 2)))(
+                    jnp.asarray(x32)))
+            if pg.fwd.pos is not None:
+                gr_ref = np.asarray(jnp.asarray(gr32).astype(jnp.bfloat16)
+                                    .astype(jnp.float32))
+            else:
+                # >2^15 non-positional fallback computes dx in f32 and its
+                # trailing f32→bf16→f32 cast pair is elided by XLA's
+                # excess-precision rule (measured: gr == gr32 bitwise) —
+                # the chain keeps FULL f32 precision
+                gr_ref = gr32
+            np.testing.assert_allclose(gr, gr_ref, atol=0)
+        else:
+            gr_ref = np.asarray(jax.jit(jax.grad(lambda xx: jnp.sum(
+                spmm_max(g, xx) ** 2)))(jnp.asarray(x32)[:, 0]))
+            np.testing.assert_allclose(gr[:, 0], gr_ref, atol=0)
         if pg.fwd.pos is not None:
             path = "positional_int16"
         elif n_pad > (1 << 15):

@@ -42,7 +42,7 @@ import numpy as np
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 RESULTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                        "results", "multichip_evidence_r04.json")
+                        "results", "multichip_evidence_r05.json")
 
 # PPI-scale workload (reference main.py:40, utils.py:46-49).
 N_NODES = 24041
@@ -435,7 +435,8 @@ def run_model(measured_edge_folds_per_s: float, bytes_per_edge_fold: int,
 # ---------------------------------------------------------------------------
 
 
-def run_plan(devices_list, n_nodes, n_edges, jobs, include_2d):
+def run_plan(devices_list, n_nodes, n_edges, jobs, include_2d,
+             hbm_node_folds=None):
     """Record the mesh planner's candidate tables: the production answer to
     'how do I run 2 hosts' (VERDICT r3 next-step 1a) plus the modeled 2-D
     source x destination grid numbers (1b — recorded as a dead end unless a
@@ -451,7 +452,8 @@ def run_plan(devices_list, n_nodes, n_edges, jobs, include_2d):
                      len(src)}, "total_jobs": jobs, "per_devices": {}}
     for d in devices_list:
         plan = plan_mesh(d, src, dst, n_nodes, total_jobs=jobs,
-                         include_2d=include_2d)
+                         include_2d=include_2d,
+                         hbm_node_folds=hbm_node_folds)
         log(plan.summary())
         ch = plan.chosen
         two_d = [c for c in plan.table if c.scheme.startswith("2d:")]
@@ -492,6 +494,11 @@ def main():
     ap.add_argument("--jobs", type=int, default=100,
                     help="plan mode: fold jobs (rounds x folds)")
     ap.add_argument("--no-2d", action="store_true")
+    ap.add_argument("--hbm-node-folds", type=int, default=None,
+                    help="plan mode: per-chip HBM budget in node-folds "
+                         "(default: the engine footprint 30 x 24041; pass "
+                         "the measured kernel-only 8 x 330304 for 10M-edge "
+                         "raw-kernel plans)")
     args = ap.parse_args()
     if args.mode == "hw":
         run_hw(args.epochs, args.agg_dtype)
@@ -499,7 +506,8 @@ def main():
         run_virtual(args.steps)
     elif args.mode == "plan":
         run_plan(args.devices, args.nodes, args.edges, args.jobs,
-                 include_2d=not args.no_2d)
+                 include_2d=not args.no_2d,
+                 hbm_node_folds=args.hbm_node_folds)
     else:
         run_model(args.measured_rate, args.bytes_per_edge_fold,
                   args.agg_dtype, args.part, n_nodes=args.nodes,

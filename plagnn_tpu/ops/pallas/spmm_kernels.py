@@ -56,6 +56,12 @@ empty rows; argmax records the FIRST maximum in (dst, src) sorted order
 stream interleaved, ties resolve explicitly by smaller source id — the
 same order).  The backward masked sum routes gradients to the recorded
 argmax source over the transpose blocked CSR.
+
+Edge-list contract: (src, dst) pairs must be UNIQUE (the pipeline's edge
+sets are, data/biogrid.py).  On duplicate pairs the id-based backward
+routes the gradient to every copy of the argmax edge while the positional
+backward routes to exactly one (DGL's edge-argmax behavior); both are
+self-consistent but differ from each other.
 """
 from __future__ import annotations
 
@@ -821,7 +827,10 @@ def _spmm_fwd_kernel(
     else:
         out_ref[...] = acc[...].astype(out_ref.dtype)
     if with_argmax:
-        arg_ref[...] = argacc[...]
+        # int16 target when the recorded values fit (positional ranks /
+        # small-graph ids): halves the argmax output array — at the
+        # 10M-edge B=8 shape the int32 version alone is 5.4 GB and OOMs
+        arg_ref[...] = argacc[...].astype(arg_ref.dtype)
 
 
 def _run_spmm(
@@ -853,16 +862,21 @@ def _run_spmm(
     )
     hub = blocked.hub
     with_hub = hub is not None
+    positional = with_argmax and blocked.pos is not None
+    n_pad_nodes_small = blocked.n_pad_nodes <= (1 << 15)
 
     out_shapes = [jax.ShapeDtypeStruct((n_pad * sub, lane), dt)]
     out_specs = [pl.BlockSpec((r * sub, lane), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM)]
     if with_argmax:
-        out_shapes.append(jax.ShapeDtypeStruct((n_pad * sub, lane), jnp.int32))
+        # recorded values < 2^15 (positional ranks or small-graph ids) ride
+        # out at int16 — half the HBM of the int32 array
+        arg_dt = (jnp.int16 if positional or n_pad_nodes_small
+                  else jnp.int32)
+        out_shapes.append(jax.ShapeDtypeStruct((n_pad * sub, lane), arg_dt))
         out_specs.append(pl.BlockSpec((r * sub, lane), lambda i, *_: (i, 0),
                                       memory_space=pltpu.VMEM))
 
-    positional = with_argmax and blocked.pos is not None
     kernel = functools.partial(
         _spmm_fwd_kernel,
         reduce=reduce, with_argmax=with_argmax, with_hub=with_hub, r=r,

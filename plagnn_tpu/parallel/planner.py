@@ -383,6 +383,7 @@ def plan_mesh(
     include_2d: bool = False,
     b_candidates: Sequence[int] = (10, 16, 20, 24, 30),
     anchors_path: Optional[str] = None,
+    hbm_node_folds: Optional[int] = None,
 ) -> MeshPlan:
     """Score every (fold, graph) factorization of ``n_devices`` and pick the
     best.  ``total_jobs`` is the run's fold-job count (reference: 10 rounds ×
@@ -398,9 +399,14 @@ def plan_mesh(
     e_tot = len(src)
     anc = load_anchors(anchors_path)
     rates, tax = anc["rates"], anc["tax"]
-    # per-chip HBM bound: (n_real / P) x b <= HBM_REF_NODES x ceiling
-    # (measured at the reference graph size); single-chip baseline uses P=1
-    b_hbm_1 = max(int(anc["hbm_ceiling"] * HBM_REF_NODES / n_real), 1)
+    # per-chip HBM bound: (n_real / P) x b <= hbm_node_folds.  Default is
+    # the ENGINE footprint measured at the reference graph (B=30 x 24,041
+    # nodes: fold-packed activations of 3 layers + Adam state); pass a
+    # measured kernel-only budget (e.g. the 10M-edge config's B=8 x 330k,
+    # big_graph_r05.json) when planning raw-kernel sweeps — the two
+    # footprints differ ~3.7x.
+    budget = hbm_node_folds or anc["hbm_ceiling"] * HBM_REF_NODES
+    b_hbm_1 = max(int(budget / n_real), 1)
     best_single = max(
         rate_single_chip(min(b, b_hbm_1), rates) for b in b_candidates)
 
