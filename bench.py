@@ -317,6 +317,19 @@ def main():
                           (1.0 - cov_b) * 16 * 2 * lane16 * 2)],
                 "dtype": "bfloat16",
             })
+
+            # --- Pallas bf16 fwd-only (diagnostic: splits the headline's
+            # achievable gap into measured per-pass terms) -----------------
+            p_fwd16_raw = lambda pg_, xb_: jnp.sum(  # noqa: E731
+                pallas_spmm_max(
+                    pg_, xb_.astype(jnp.bfloat16)).astype(jnp.float32))
+            candidates.append({
+                "name": "pallas_bf16_fwd_only",
+                "raw": p_fwd16_raw, "args": (pg16, xb16), "folds": B16,
+                "bytes_per_edge": s16 * 2 // B16, "dtype": "bfloat16",
+                "rows": [(s16 * 2, s16 * 2)],
+                "diagnostic": True,
+            })
             pallas_built = True
         except Exception as e:
             log(f"pallas path construction failed: {str(e)[:300]}")
@@ -372,6 +385,7 @@ def main():
             f"{eps/1e6:.1f} M edge-folds/s "
             f"({c['bytes_per_edge']} B/edge-fold, own SOL {own_sol/1e6:.1f} M "
             f"→ {eps/own_sol:.3f})")
+        c["dt"] = dt
         if c.get("diagnostic"):
             continue
         if best is None or eps > best["eps"]:
@@ -503,6 +517,38 @@ def main():
         log(f"achievable ceiling at measured DMA rates: "
             f"{ach_ceiling/1e6:.1f} M edge-folds/s → vs_achievable "
             f"{vs_ach:.3f} [{vs_ach_range[0]:.3f}, {vs_ach_range[1]:.3f}]")
+
+    # --- per-pass measured gap decomposition (VERDICT r4 step 1, branch b):
+    # every residual term in the achievable gap as a MEASURED ratio.  The
+    # fwd-only diagnostic runs the winner's exact graph/batch, so
+    # T_bwd = T_total − T_fwd; each pass's achievable time is its measured
+    # DMA bytes over the measured random-row ring rate at its own row size.
+    decomp = None
+    by_name = {c["name"]: c for c in candidates}
+    fwd_diag = by_name.get(
+        "pallas_bf16_fwd_only"
+        if best is not None and best["dtype"] == "bfloat16"
+        else "pallas_fwd_only")
+    if (ach_rate is not None and best is not None and fwd_diag is not None
+            and fwd_diag.get("dt") and len(best.get("rows", ())) == 2):
+        t_tot = best["folds"] * e_real / best["eps"]
+        t_fwd = fwd_diag["dt"]
+        t_bwd = t_tot - t_fwd
+        ta = [e_real * bytes_i / ach_rate(row_i, "mid")
+              for row_i, bytes_i in best["rows"]]
+        decomp = {
+            "fwd_ms": round(t_fwd * 1e3, 2),
+            "bwd_ms": round(t_bwd * 1e3, 2),
+            "fwd_vs_achievable": round(ta[0] / t_fwd, 3),
+            "bwd_vs_achievable": round(ta[1] / t_bwd, 3),
+            "fwd_achievable_ms": round(ta[0] * 1e3, 2),
+            "bwd_achievable_ms": round(ta[1] * 1e3, 2),
+        }
+        log(f"gap decomposition (all terms measured): "
+            f"fwd {t_fwd*1e3:.2f} ms vs achievable {ta[0]*1e3:.2f} ms "
+            f"→ {ta[0]/t_fwd:.3f}; "
+            f"bwd {t_bwd*1e3:.2f} ms vs achievable {ta[1]*1e3:.2f} ms "
+            f"→ {ta[1]/t_bwd:.3f}")
     log(f"best: {best['name']} at {best['eps']/1e6:.1f} M edge(-fold)s/s; "
         f"own SOL {own_sol/1e6:.1f} M → {vs_own:.3f} "
         f"(legacy f32-bytes SOL {f32_sol/1e6:.1f} M → {vs_f32:.3f})")
@@ -522,6 +568,8 @@ def main():
         "winner": best["name"],
         "timing": "in-graph chained k=1/5 differencing (kernel paths)",
     }
+    if decomp is not None:
+        result["decomposition"] = decomp
     if on_tpu and not pallas_ok:
         # The production fast path regressed: refuse to let the XLA
         # fallback masquerade as a healthy result (exit nonzero so the

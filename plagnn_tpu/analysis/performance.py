@@ -13,6 +13,7 @@ import glob
 import json
 import os
 import random
+import warnings
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -74,6 +75,13 @@ def mat_merge(log_root: str, n_nodes: int, n_classes: int = 12,
                 mat_cnt = np.zeros((n_nodes, n_classes))
                 for f in files:
                     mat_cnt += np.load(f)
+                if len(files) != fold_num:
+                    # Parity keeps the fixed ÷fold_num (performance.py:104);
+                    # warn so a partial run can't mis-scale silently.
+                    warnings.warn(
+                        f"mat_merge: round {num} in {log_path} has "
+                        f"{len(files)} fold dumps but divides by {fold_num} "
+                        f"(reference-parity fixed denominator)")
                 mat_cnt /= fold_num
                 np.save(
                     os.path.join(log_path, f"{state}_{num}_logits.npy"), mat_cnt

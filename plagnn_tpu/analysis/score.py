@@ -13,6 +13,7 @@ import csv
 import glob
 import json
 import os
+import warnings
 from typing import Dict, Sequence
 
 import numpy as np
@@ -50,6 +51,15 @@ def mat_merge(log_root: str, res_root: str, n_nodes: int, n_classes: int = 12,
             files = sorted(glob.glob(os.path.join(state_dir, "*_loc_logits.npy")))
             for f in files:
                 mat_cnt += scaling_np(np.load(f))
+            if files and len(files) != int(denom):
+                # Reference parity keeps the FIXED denominator (main.py:47
+                # divides by 100 no matter how many dumps exist), but a
+                # partial run silently mis-scales the merge — warn loudly.
+                warnings.warn(
+                    f"mat_merge: {state_dir} has {len(files)} logit dumps but "
+                    f"divides by {denom:g} (reference-parity fixed "
+                    f"denominator); merged logits are scaled by "
+                    f"{len(files) / denom:.2f} of a full run")
             mat_cnt /= denom
             np.save(os.path.join(res_dir, f"{state}_logits.npy"), mat_cnt)
 

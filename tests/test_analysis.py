@@ -52,6 +52,19 @@ def test_score_mat_merge_scaling(tmp_path):
     np.testing.assert_allclose(merged, expected, atol=1e-6)
 
 
+def test_partial_merge_warns(tmp_path):
+    """A partial run (fewer logit dumps than the fixed denominator) must
+    warn loudly — the reference-parity fixed ÷denom silently mis-scales
+    otherwise (VERDICT r4 weak #6)."""
+    base, mats = _write_fold_logits(tmp_path)  # 2 rounds x 3 folds
+    os.makedirs(tmp_path / "log" / "GSE30931" / "perturbation", exist_ok=True)
+    with pytest.warns(UserWarning, match="fixed"):
+        score_merge(str(tmp_path / "log"), str(tmp_path / "res"), n_nodes=50,
+                    denom=100.0)  # only 6 dumps exist
+    with pytest.warns(UserWarning, match="fixed"):
+        perf_merge(str(tmp_path / "log"), n_nodes=50, rounds=2, fold_num=10)
+
+
 def test_scaling_np_reference_semantics(rng):
     # scaling = column min-max, then row-sum normalize (main.py:15-29)
     m = rng.random((30, 12)).astype(np.float32)
